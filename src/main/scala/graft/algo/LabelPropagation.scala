@@ -1,0 +1,122 @@
+package graft.algo
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+
+/** Synchronous semi-supervised / unsupervised label propagation as an
+  * iterative Dataset pipeline.
+  *
+  * Semantics are the reference's canonical LP kernel
+  * (`lpst/src/lib.rs:177-221` `run_lp_csr`, `ow-lp/src/lib.rs:501-630`),
+  * differentially tested against a direct transcription
+  * ([[graft.oracle.SerialOracles.labelPropagation]]):
+  *
+  *  - message direction: each node gathers the labels of its
+  *    **out-neighbours** (dst labels flow to src — GraphX `sendToSrc`,
+  *    `labelpropagation_graphx_shell.scala:108-116`)
+  *  - new label = most frequent neighbour label, ties → smallest label,
+  *    no labelled neighbour → keep current (`ow-lp/src/lib.rs:456-481`)
+  *  - duplicate edges weight the vote (multiplicity preserved via a
+  *    pre-aggregated weight column, mathematically identical)
+  *  - seeds are min-deduped per node and pinned forever
+  *    (`ow-lp/src/lib.rs:224-235,576-579`)
+  *  - zero seeds globally → unsupervised mode, label(i) = i, no pinning
+  *    (`ow-lp/src/lib.rs:538-546`)
+  *  - stop when changed ≤ threshold (default 0) or maxIter (default 50)
+  *
+  * Physical plan per superstep (2 exchanges on the state, none on the
+  * pre-partitioned edges):
+  *   gather  = packedEdges ⋈ labels on dst          (labels shuffled to the
+  *             persisted edge partitioning — sort-merge/shuffle-hash; at
+  *             cluster scale hub skew is handled by AQE skew join, and the
+  *             two-level vote aggregation below is salt-compatible since
+  *             label counts are associative)
+  *   vote    = groupBy(src, label).sum(w)           (partial map-side agg)
+  *             → groupBy(src).max(struct(cnt,-label)) → majority w/ min tie
+  *   apply   = state ⟗ votes on id, seeded rows keep their label, changed
+  *             flag folded into the same projection (no extra action).
+  */
+object LabelPropagation {
+
+  final case class LpResult(
+      labels: Dataset[VertexLabel],
+      iterations: Int,
+      converged: Boolean,
+      stats: List[Superstep.IterStats],
+      edgeCount: Long)
+
+  /** Run LP over a directed edge table. `seeds` may be empty → unsupervised. */
+  def run(
+      edges: Dataset[Edge],
+      seeds: Dataset[Seed],
+      cfg: RunConfig = RunConfig()): LpResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // adjacency at rest: duplicate edges collapsed to a weight, partitioned
+    // by dst once so every gather join reuses the same exchange
+    val packed = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .repartition($"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = packed.agg(sum($"w")).head().getLong(0)
+
+    val dedupedSeeds = graft.io.EdgeTsv.dedupSeeds(seeds)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val unsupervised = dedupedSeeds.isEmpty
+
+    val init: DataFrame =
+      if (unsupervised) {
+        // label(i) = i for every vertex (ow-lp/src/lib.rs:538-546)
+        val vertices = packed.select($"src".as("id"))
+          .union(packed.select($"dst".as("id"))).distinct()
+        vertices.select($"id", $"id".as("label"), lit(false).as("seeded"))
+      } else {
+        // only seeded vertices carry a label; absent row = UNKNOWN
+        dedupedSeeds.select($"node".as("id"), $"label", lit(true).as("seeded"))
+      }
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val labels = state.select($"id", $"label")
+      val gather = packed.join(labels, packed("dst") === labels("id"))
+        .select(packed("src"), labels("label"), packed("w"))
+      val votes = gather
+        .groupBy($"src", $"label").agg(sum($"w").as("cnt"))
+        .groupBy($"src").agg(max(struct($"cnt", (-$"label").as("neg"))).as("m"))
+        .select($"src".as("id"), (-$"m.neg").as("vote"))
+      state.as("s").join(votes.as("v"), Seq("id"), "full_outer")
+        .select(
+          $"id",
+          when($"s.seeded" === true, $"s.label")
+            .otherwise(coalesce($"v.vote", $"s.label")).as("label"),
+          coalesce($"s.seeded", lit(false)).as("seeded"),
+          // changed ⇔ new label differs from previous (UNKNOWN = null never
+          // equals a real label; labels are ≥ 0 so -1 is a safe sentinel)
+          (coalesce(when($"s.seeded" === true, $"s.label")
+              .otherwise(coalesce($"v.vote", $"s.label")), lit(-1L)) =!=
+            coalesce($"s.label", lit(-1L))).as("_chg"))
+    }
+
+    val res = Superstep.loop(
+      init, step, cfg.maxIter, cfg.convergenceThreshold,
+      cfg.checkpointDir, cfg.checkpointEvery, cfg.localCheckpointEvery,
+      algo = "lp")
+
+    val labelsOut = res.state.filter($"label".isNotNull)
+      .select($"id", $"label").as[VertexLabel]
+    packed.unpersist(blocking = false)
+    dedupedSeeds.unpersist(blocking = false)
+    LpResult(labelsOut, res.iterations, res.converged, res.stats, edgeCount)
+  }
+
+  /** Label histogram report (`ow-lp/src/lib.rs:336-356`): 20 smallest-id
+    * distinct labels with occurrence counts.
+    */
+  def labelHistogram(labels: Dataset[VertexLabel]): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels.groupBy($"label").agg(count(lit(1)).as("cnt"))
+      .orderBy($"label").limit(20)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+
+/** Dynamic (delta-based) PageRank to convergence, reproducing the exact
+  * semantics of GraphX `PageRank.runUntilConvergence` — the formulation the
+  * reference benchmarks (`pagerank_graphx_shell.scala:59-65`, tol 1e-6,
+  * damping 0.85) — without any GraphX dependency:
+  *
+  *  - every vertex starts at rank 0 and receives the initial message
+  *    resetProb/(1−resetProb), so after superstep 0: rank = resetProb,
+  *    delta = resetProb
+  *  - a vertex that received a message applies
+  *    rank += (1−resetProb)·msgSum, delta = (1−resetProb)·msgSum
+  *  - messages flow only out of vertices that received one last round AND
+  *    whose delta > tol (Pregel activeDirection = Out); each out-edge
+  *    carries delta/outDegree, parallel edges counted in the degree and
+  *    contributing multiplicity-many times (we fold multiplicity into a
+  *    per-(src,dst) weight — identical arithmetic up to FP association,
+  *    covered by the 1e-6 allclose contract)
+  *  - terminate when no messages are in flight
+  *  - finally normalize ranks to sum to the vertex count (SPARK-18847
+  *    `normalizeRankSum`, confirmed present in the Spark 4.1.2 graphx jar).
+  *
+  * Differentially tested against GraphX itself in PageRankSpec.
+  *
+  * Physical shape per superstep: frontier ⋈ contribution-weighted edges
+  * (edges pre-partitioned by src, persisted once) → groupBy(dst).sum →
+  * left join back to rank state. Only active vertices shuffle; the frontier
+  * collapses geometrically as deltas fall below tol.
+  */
+object PageRank {
+
+  final case class PrResult(
+      ranks: Dataset[VertexRank],
+      iterations: Int,
+      numVertices: Long,
+      maxRank: Double,
+      sumRank: Double,
+      stats: List[Superstep.IterStats])
+
+  def run(
+      edges: Dataset[Edge],
+      tol: Double = 1e-6,
+      resetProb: Double = 0.15,
+      maxIter: Int = Int.MaxValue,
+      cfg: RunConfig = RunConfig()): PrResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val packed = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = packed.groupBy($"src").agg(sum($"w").as("deg"))
+    // contribution weight per distinct (src,dst): multiplicity / outDegree
+    val contrib = packed.join(outDeg, "src")
+      .select($"src", $"dst", ($"w".cast("double") * (lit(1.0) / $"deg")).as("cw"))
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    contrib.count()
+    packed.unpersist(blocking = false)
+
+    val vertices = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numVertices = vertices.count()
+
+    // after Pregel superstep 0 (initial message to every vertex)
+    val init: DataFrame = vertices.select(
+      $"id", lit(resetProb).as("rank"), lit(resetProb).as("delta"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val frontier = (if (iter == 0) state else state.filter($"_chg"))
+        .filter($"delta" > tol).select($"id", $"delta")
+      val msgs = contrib.join(frontier, contrib("src") === frontier("id"))
+        .groupBy(contrib("dst").as("id"))
+        .agg(sum($"delta" * $"cw").as("msg"))
+      state.select($"id", $"rank", $"delta").join(msgs, Seq("id"), "left_outer")
+        .select(
+          $"id",
+          when($"msg".isNotNull, $"rank" + lit(1.0 - resetProb) * $"msg")
+            .otherwise($"rank").as("rank"),
+          when($"msg".isNotNull, lit(1.0 - resetProb) * $"msg")
+            .otherwise($"delta").as("delta"),
+          $"msg".isNotNull.as("_chg"))
+    }
+
+    val res = Superstep.loop(init, step, maxIter, 0L,
+      cfg.checkpointDir, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = "pagerank")
+
+    // SPARK-18847: scale ranks so they sum to the vertex count
+    val rawSum = res.state.agg(sum($"rank")).head().getDouble(0)
+    val factor = numVertices.toDouble / rawSum
+    val ranks = res.state
+      .select($"id", ($"rank" * factor).as("rank")).as[VertexRank]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val agg = ranks.agg(max($"rank"), sum($"rank")).head()
+    contrib.unpersist(blocking = false)
+    vertices.unpersist(blocking = false)
+    PrResult(ranks, res.iterations, numVertices,
+      agg.getDouble(0), agg.getDouble(1), res.stats)
+  }
+}

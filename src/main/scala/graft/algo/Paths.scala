@@ -1,0 +1,71 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+
+/** Frontier-based shortest-path programs: BFS min-hop levels and SSSP
+  * min-distance, matching the reference's Pregel formulations
+  * (`bfs_graphx_shell.scala:82-92`, `sssp_graphx_shell.scala:87-98`).
+  *
+  * State rows exist only for reached vertices (absent row = unreachable =
+  * the reference's `Int.MaxValue` / `+∞` sentinel, rendered at the sink);
+  * each superstep joins only the frontier (vertices improved last round)
+  * against the edge table, so the shuffle volume per round is proportional
+  * to the frontier's out-degree sum, not the whole graph.
+  */
+object Paths {
+
+  final case class PathResult(
+      dists: Dataset[VertexDist],
+      iterations: Int,
+      reachable: Long,
+      maxDist: Double,
+      stats: List[Superstep.IterStats])
+
+  /** BFS levels from `source`; `maxLevels` caps rounds (reference default 500). */
+  def bfs(edges: Dataset[Edge], source: Long, maxLevels: Int = 500): PathResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"src", $"dst", lit(1.0).as("weight")).as[WEdge]
+    sssp(e, source, maxLevels)
+  }
+
+  /** SSSP from `source` over weighted edges (missing weights already
+    * defaulted to 1.0 by the caller/parser, `sssp_graphx_shell.scala:30-39`).
+    */
+  def sssp(edges: Dataset[WEdge], source: Long,
+           maxIter: Int = Int.MaxValue): PathResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val packed = edges.groupBy($"src", $"dst").agg(min($"weight").as("weight"))
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val init: DataFrame =
+      spark.range(1).select(lit(source).as("id"), lit(0.0).as("dist"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val frontier =
+        (if (iter == 0) state else state.filter($"_chg")).select($"id", $"dist")
+      val msgs = packed.join(frontier, packed("src") === frontier("id"))
+        .groupBy(packed("dst").as("id"))
+        .agg(min($"dist" + $"weight").as("m"))
+      state.select($"id", $"dist").join(msgs, Seq("id"), "full_outer")
+        .select(
+          $"id",
+          least($"dist", $"m").as("dist"),
+          coalesce($"m" < $"dist", $"dist".isNull).as("_chg"))
+    }
+
+    val res = Superstep.loop(init, step, maxIter, 0L, algo = "sssp")
+    val dists = res.state.select($"id", $"dist").as[VertexDist]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val agg = dists.agg(count(lit(1)), max($"dist")).head()
+    packed.unpersist(blocking = false)
+    PathResult(dists, res.iterations, agg.getLong(0),
+      if (agg.isNullAt(1)) 0.0 else agg.getDouble(1), res.stats)
+  }
+}

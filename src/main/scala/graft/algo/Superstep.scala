@@ -1,0 +1,171 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+/** Generic bulk-synchronous superstep driver shared by every iterative
+  * vertex program (LP / PageRank / CC / BFS / SSSP).
+  *
+  * Replaces the reference's hand-rolled reduce+broadcast loop
+  * (`ow-lp/src/lib.rs:501-630`) and the GraphX shell's Pregel loop
+  * (`labelpropagation_graphx_shell.scala:107-138`) with a driver-side loop
+  * over declarative Dataset plans: each superstep is a fresh Catalyst plan
+  * (predicate pushdown / codegen apply per step), state is persisted and the
+  * previous iteration's state unpersisted, and lineage is truncated with
+  * `localCheckpoint` every `localCheckpointEvery` steps — the GraphX-shell
+  * mistake of one extra `count()` join per superstep (SURVEY.md §7.6) is
+  * avoided by folding the changed-count into the single materializing
+  * aggregation.
+  *
+  * Durable checkpointing (the north rule's "resumable mid-convergence"):
+  * every `checkpointEvery` iterations the state parquet is written under
+  * `dir/iter=K/state` followed by `dir/iter=K/manifest.json` (manifest
+  * written last = commit marker, so a torn write is never resumed from).
+  * The manifest carries the changed-count, total and per-partition row
+  * counts, and phase wall times — the per-partition lineage metrics.
+  * [[resumeOrInit]] restarts the loop from the newest committed manifest.
+  * The reference has no equivalent (a failed worker fails the run).
+  */
+object Superstep {
+
+  /** Per-iteration phase metrics (reference style: `runtime_metrics.py:81-183`). */
+  final case class IterStats(
+      iteration: Int,
+      changed: Long,
+      rows: Long,
+      computeMs: Long,
+      checkpointMs: Long)
+
+  final case class LoopResult(
+      state: DataFrame,
+      iterations: Int,
+      converged: Boolean,
+      stats: List[IterStats])
+
+  /** One superstep: previous state → new state carrying a boolean `_chg`
+    * column (true on every row whose vertex value changed this step). The
+    * previous state still carries its own `_chg` (absent on iteration 0) so
+    * frontier-based algorithms can restrict work to changed vertices; the
+    * driver aggregates the new `_chg` to decide convergence.
+    */
+  type Step = (DataFrame, Int) => DataFrame
+
+  /** Run `step` from `init` until the number of changed rows is ≤ `threshold`
+    * or `maxIter` supersteps have completed. `startIter` > 0 resumes
+    * counting from a checkpoint.
+    *
+    * Convergence mirrors `should_continue` (`ow-lp/src/lib.rs:424-426`):
+    * iterate while iterations < maxIter and changed > threshold.
+    */
+  def loop(
+      init: DataFrame,
+      step: Step,
+      maxIter: Int,
+      threshold: Long = 0L,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5,
+      localCheckpointEvery: Int = 8,
+      startIter: Int = 0,
+      algo: String = "superstep"): LoopResult = {
+
+    var state = init.persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    var iter = startIter
+    var converged = false
+    var stats = List.empty[IterStats]
+
+    while (iter < maxIter && !converged) {
+      val t0 = System.nanoTime()
+      var next = step(state, iter)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // single materializing action: row count + changed count together
+      val agg = next.agg(count(lit(1)), sum(when(col("_chg"), 1L).otherwise(0L))).head()
+      val rows = agg.getLong(0)
+      val changed = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val computeMs = (System.nanoTime() - t0) / 1000000L
+
+      val t1 = System.nanoTime()
+      val doneIter = iter + 1
+      if ((doneIter - startIter) % localCheckpointEvery == 0) {
+        // truncate lineage so plan size stays O(1) across supersteps
+        next = next.localCheckpoint(eager = true)
+      }
+      checkpointDir.foreach { dir =>
+        if (changed <= threshold || doneIter % checkpointEvery == 0 || doneIter >= maxIter)
+          writeCheckpoint(dir, algo, doneIter, changed, rows, next.drop("_chg"))
+      }
+      val checkpointMs = (System.nanoTime() - t1) / 1000000L
+
+      state.unpersist(blocking = false)
+      state = next
+      iter = doneIter
+      stats ::= IterStats(doneIter, changed, rows, computeMs, checkpointMs)
+      converged = changed <= threshold
+    }
+    LoopResult(state.drop("_chg"), iter - startIter, converged, stats.reverse)
+  }
+
+  /** Resume state from the newest committed checkpoint under `dir`, or fall
+    * back to `init`. Returns (state, iterationAlreadyCompleted, converged).
+    */
+  def resumeOrInit(
+      spark: SparkSession,
+      dir: String,
+      init: => DataFrame): (DataFrame, Int, Boolean) = {
+    latestManifest(spark, dir) match {
+      case Some((iterDone, manifest)) =>
+        val state = spark.read.parquet(s"$dir/iter=$iterDone/state")
+        val converged = manifest.contains("\"converged\":true")
+        (state, iterDone, converged)
+      case None => (init, 0, false)
+    }
+  }
+
+  /** Newest iteration number with a committed manifest, plus its JSON. */
+  def latestManifest(spark: SparkSession, dir: String): Option[(Int, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val iters = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("iter=") => n.drop(5).toInt }
+      .sorted(Ordering[Int].reverse)
+    iters.iterator.flatMap { k =>
+      val mf = new Path(s"$dir/iter=$k/manifest.json")
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+          in.readFully(bytes)
+          Some(k -> new String(bytes, StandardCharsets.UTF_8))
+        } finally in.close()
+      } else None
+    }.nextOption()
+  }
+
+  private def writeCheckpoint(
+      dir: String, algo: String, iteration: Int,
+      changed: Long, rows: Long, state: DataFrame): Unit = {
+    val spark = state.sparkSession
+    val statePath = s"$dir/iter=$iteration/state"
+    state.write.mode("overwrite").parquet(statePath)
+    // per-partition row counts of the written state = lineage metric
+    val perPart = spark.read.parquet(statePath)
+      .groupBy(spark_partition_id().as("p")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val manifest =
+      s"""{"algo":"${algo}","iteration":$iteration,"changed":$changed,""" +
+      s""""rows":$rows,"converged":${changed == 0L},""" +
+      s""""perPartitionRows":[${perPart.map(_._2).mkString(",")}]}"""
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mf = new Path(s"$dir/iter=$iteration/manifest.json")
+    val fs = mf.getFileSystem(conf)
+    val out = fs.create(mf, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}
