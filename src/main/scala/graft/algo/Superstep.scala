@@ -67,20 +67,25 @@ object Superstep {
       threshold: Long = 0L,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
-      localCheckpointEvery: Int = 8,
+      localCheckpointEvery: Int = 1,
       startIter: Int = 0,
       algo: String = "superstep"): LoopResult = {
 
-    var state = init.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()
+    // localCheckpoint (not plain persist) — a step references its input
+    // more than once, so without lineage truncation the logical plan doubles
+    // every superstep and analysis/AQE cost grows exponentially
+    var state = init.localCheckpoint(eager = true)
     var iter = startIter
     var converged = false
     var stats = List.empty[IterStats]
 
     while (iter < maxIter && !converged) {
       val t0 = System.nanoTime()
+      val doneIter = iter + 1
+      val truncate = (doneIter - startIter) % localCheckpointEvery == 0
       var next = step(state, iter)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      next = if (truncate) next.localCheckpoint(eager = true)
+             else next.persist(StorageLevel.MEMORY_AND_DISK)
       // single materializing action: row count + changed count together
       val agg = next.agg(count(lit(1)), sum(when(col("_chg"), 1L).otherwise(0L))).head()
       val rows = agg.getLong(0)
@@ -88,16 +93,12 @@ object Superstep {
       val computeMs = (System.nanoTime() - t0) / 1000000L
 
       val t1 = System.nanoTime()
-      val doneIter = iter + 1
-      if ((doneIter - startIter) % localCheckpointEvery == 0) {
-        // truncate lineage so plan size stays O(1) across supersteps
-        next = next.localCheckpoint(eager = true)
-      }
       checkpointDir.foreach { dir =>
         if (changed <= threshold || doneIter % checkpointEvery == 0 || doneIter >= maxIter)
           writeCheckpoint(dir, algo, doneIter, changed, rows, next.drop("_chg"))
       }
       val checkpointMs = (System.nanoTime() - t1) / 1000000L
+
 
       state.unpersist(blocking = false)
       state = next

@@ -21,22 +21,14 @@ import graft.model._
 object SyntheticGraph {
 
   /** splitmix64 finalizer — the pure 64-bit mix used for edge targets. */
-  def splitmix64(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  def splitmix64(x0: Long): Long = graft.functions.SplitMix64Expr.mix(x0)
 
-  /** Column-expression splitmix64 (identical bit-for-bit to [[splitmix64]];
-    * asserted in SyntheticGraphSpec). Stays inside whole-stage codegen.
+  /** Column form (native Catalyst expression with codegen — wrapping 64-bit
+    * multiply is not expressible with `Column *` under ANSI mode). Identical
+    * bit-for-bit to [[splitmix64]]; asserted in SyntheticGraphSpec.
     */
-  def splitmix64Col(x0: Column): Column = {
-    val z0 = x0 + lit(0x9e3779b97f4a7c15L)
-    val z1 = (z0.bitwiseXOR(shiftrightunsigned(z0, 30))) * lit(0xbf58476d1ce4e5b9L)
-    val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 27))) * lit(0x94d049bb133111ebL)
-    z2.bitwiseXOR(shiftrightunsigned(z2, 31))
-  }
+  def splitmix64Col(x0: Column): Column =
+    graft.functions.SplitMix64Expr.splitmix64(x0)
 
   /** The j-th out-edge target of node i (pure function; n ≥ 2). */
   def target(seed: Long, density: Int, n: Long, i: Long, j: Long): Long = {
@@ -59,7 +51,7 @@ object SyntheticGraph {
     require(n >= 2, "need at least 2 nodes")
     val src = ($"id" / density).cast("long")
     val j = $"id" % density
-    val h = splitmix64Col(lit(seed) * lit(0x100000000L) + src * density + j)
+    val h = splitmix64Col(lit(seed * 0x100000000L) + src * density + j)
     val raw = pmod(h, lit(n - 1))
     val dst = when(raw >= src, raw + 1).otherwise(raw)
     spark.range(n * density)

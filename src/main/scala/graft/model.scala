@@ -90,5 +90,5 @@ object model {
       tolerance: Double = 1e-6,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
-      localCheckpointEvery: Int = 8)
+      localCheckpointEvery: Int = 1)
 }

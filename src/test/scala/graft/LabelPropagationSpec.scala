@@ -1,0 +1,127 @@
+package graft
+
+import graft.model._
+import graft.algo.LabelPropagation
+import graft.oracle.SerialOracles
+import graft.gen.SyntheticGraph
+
+/** Distributed Dataset LP vs the serial oracle: golden fixtures plus
+  * differential tests on deterministic random graphs (sizes, densities and
+  * seed rates swept; the reference ships no property tests — this is our
+  * §5/4-level-equivalent differential layer).
+  */
+class LabelPropagationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runBoth(
+      n: Int,
+      edges: Seq[(Long, Long)],
+      seeds: Map[Long, Long],
+      maxIter: Int = DefaultMaxIter): (Map[Long, Long], Map[Long, Long]) = {
+    val ds = spark.createDataset(edges.map { case (s, d) => Edge(s, d) })
+    val sd = spark.createDataset(seeds.toSeq.map { case (k, v) => Seed(k, v) })
+    val res = LabelPropagation.run(ds, sd, RunConfig(maxIter = maxIter))
+    val dist = res.labels.collect().map(v => v.id -> v.label).toMap
+    val oracle = SerialOracles
+      .labelPropagation(n, edges, seeds, maxIter)
+      .zipWithIndex
+      .collect { case (Some(l), i) => i.toLong -> l }
+      .toMap
+    // oracle emits rows for isolated ids in [0,n) too; the Dataset engine
+    // only sees vertices present in the edge table — restrict to those
+    val present = edges.flatMap { case (s, d) => Seq(s, d) }.toSet ++ seeds.keySet
+    (dist, oracle.filter { case (k, _) => present(k) })
+  }
+
+  private val triangle = Seq[(Long, Long)]((0, 1), (0, 2), (2, 0), (2, 1), (1, 0), (1, 2))
+
+  test("F1 distributed: triangle seed 0→100") {
+    val (d, o) = runBoth(3, triangle, Map(0L -> 100L))
+    d shouldBe o
+    d shouldBe Map(0L -> 100L, 1L -> 100L, 2L -> 100L)
+  }
+
+  test("F2 distributed unsupervised: all 0") {
+    val (d, o) = runBoth(3, triangle, Map.empty)
+    d shouldBe o
+    d.values.toSet shouldBe Set(0L)
+  }
+
+  test("F3 distributed: conflicting duplicate seeds min-deduped in-engine") {
+    val ds = spark.createDataset(triangle.map { case (s, dd) => Edge(s, dd) })
+    val sd = spark.createDataset(Seq(Seed(0L, 50L), Seed(0L, 30L)))
+    val res = LabelPropagation.run(ds, sd)
+    res.labels.collect().map(v => v.id -> v.label).toMap shouldBe
+      Map(0L -> 30L, 1L -> 30L, 2L -> 30L)
+  }
+
+  test("F4 distributed direction probe") {
+    val (d, o) = runBoth(2, Seq((0L, 1L)), Map(1L -> 7L))
+    d shouldBe o
+    d shouldBe Map(0L -> 7L, 1L -> 7L)
+  }
+
+  test("F5 distributed tie-break to smallest") {
+    val (d, o) = runBoth(3, Seq((0L, 2L), (1L, 2L), (2L, 0L), (2L, 1L)),
+      Map(0L -> 50L, 1L -> 30L))
+    d shouldBe o
+    d(2L) shouldBe 30L
+  }
+
+  test("F6 distributed two components") {
+    val k3a = Seq[(Long, Long)]((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0))
+    val k3b = Seq[(Long, Long)]((3, 4), (4, 3), (4, 5), (5, 4), (3, 5), (5, 3))
+    val (d, o) = runBoth(6, k3a ++ k3b, Map(0L -> 10L, 3L -> 20L))
+    d shouldBe o
+  }
+
+  test("F9 distributed: converged flag and immediate stop") {
+    val ds = spark.createDataset(Seq(Edge(0L, 1L), Edge(1L, 0L)))
+    val sd = spark.createDataset(Seq(Seed(0L, 100L), Seed(1L, 200L)))
+    val res = LabelPropagation.run(ds, sd)
+    res.converged shouldBe true
+    res.iterations shouldBe 1
+    res.labels.collect().map(v => v.id -> v.label).toMap shouldBe
+      Map(0L -> 100L, 1L -> 200L)
+  }
+
+  test("duplicate edges weight the vote") {
+    // node 2 sees label(0) twice via duplicate edge, label(1) once
+    val edges = Seq[(Long, Long)]((2, 0), (2, 0), (2, 1))
+    val (d, o) = runBoth(3, edges, Map(0L -> 200L, 1L -> 100L))
+    d shouldBe o
+    d(2L) shouldBe 200L
+  }
+
+  test("differential: random graphs across sizes, densities, seed rates") {
+    val cases = for {
+      n <- Seq(7, 23, 60)
+      density <- Seq(1, 3, 6)
+      seedMod <- Seq(0, 10, 3) // 0 = unsupervised
+    } yield (n, density, seedMod)
+    cases.foreach { case (n, density, seedMod) =>
+      val edges = SyntheticGraph.randomEdgesLocal(n, density, seed = 42L + n + density)
+      val seeds =
+        if (seedMod == 0) Map.empty[Long, Long]
+        else (0L until n by seedMod).map(i => i -> (i % 4) * 100).toMap
+      val (d, o) = runBoth(n, edges, seeds)
+      withClue(s"n=$n density=$density seedMod=$seedMod: ") { d shouldBe o }
+    }
+  }
+
+  test("differential: maxIter-capped run matches oracle mid-convergence") {
+    val edges = SyntheticGraph.randomEdgesLocal(40, 2, seed = 7L)
+    val seeds = Map(0L -> 100L, 20L -> 300L)
+    Seq(1, 2, 3).foreach { cap =>
+      val (d, o) = runBoth(40, edges, seeds, maxIter = cap)
+      withClue(s"maxIter=$cap: ") { d shouldBe o }
+    }
+  }
+
+  test("label histogram reports 20 smallest labels with counts") {
+    val ds = spark.createDataset(triangle.map { case (s, d) => Edge(s, d) })
+    val res = LabelPropagation.run(ds, spark.emptyDataset[Seed])
+    val hist = LabelPropagation.labelHistogram(res.labels).collect()
+    hist.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 3L))
+  }
+}
