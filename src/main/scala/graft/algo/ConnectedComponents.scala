@@ -53,8 +53,8 @@ object ConnectedComponents {
           coalesce($"m" < $"comp", lit(false)).as("_chg"))
     }
 
-    val res = Superstep.loop(init, step, cfg.maxIter, 0L,
-      cfg.checkpointDir, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = "cc")
+    val res = Superstep.loopResumable(init, step,
+      cfg.copy(convergenceThreshold = 0L), algo = "cc")
     val comps = res.state.select($"id", $"comp".as("component"))
       .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
     val nComp = comps.agg(countDistinct($"component")).head().getLong(0)

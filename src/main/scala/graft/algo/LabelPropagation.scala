@@ -98,10 +98,8 @@ object LabelPropagation {
             coalesce($"s.label", lit(-1L))).as("_chg"))
     }
 
-    val res = Superstep.loop(
-      init, step, cfg.maxIter, cfg.convergenceThreshold,
-      cfg.checkpointDir, cfg.checkpointEvery, cfg.localCheckpointEvery,
-      algo = "lp")
+    val res = Superstep.loopResumable(
+      init, step, cfg, algo = "lp")
 
     val labelsOut = res.state.filter($"label".isNotNull)
       .select($"id", $"label").as[VertexLabel]

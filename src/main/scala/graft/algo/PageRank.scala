@@ -87,8 +87,8 @@ object PageRank {
           $"msg".isNotNull.as("_chg"))
     }
 
-    val res = Superstep.loop(init, step, maxIter, 0L,
-      cfg.checkpointDir, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = "pagerank")
+    val res = Superstep.loopResumable(init, step,
+      cfg.copy(maxIter = maxIter), algo = "pagerank")
 
     // SPARK-18847: scale ranks so they sum to the vertex count
     val rawSum = res.state.agg(sum($"rank")).head().getDouble(0)

@@ -94,8 +94,10 @@ object Superstep {
 
       val t1 = System.nanoTime()
       checkpointDir.foreach { dir =>
+        // state is checkpointed WITH its _chg column: frontier algorithms
+        // need it to resume with the correct active set
         if (changed <= threshold || doneIter % checkpointEvery == 0 || doneIter >= maxIter)
-          writeCheckpoint(dir, algo, doneIter, changed, rows, next.drop("_chg"))
+          writeCheckpoint(dir, algo, doneIter, changed, rows, next)
       }
       val checkpointMs = (System.nanoTime() - t1) / 1000000L
 
@@ -107,6 +109,33 @@ object Superstep {
       converged = changed <= threshold
     }
     LoopResult(state.drop("_chg"), iter - startIter, converged, stats.reverse)
+  }
+
+  /** [[loop]] with automatic resume: when `cfg.checkpointDir` holds a
+    * committed manifest, the loop restarts from that state and iteration
+    * (skipping the loop entirely if the manifest says converged); otherwise
+    * it starts from `init`. `cfg.maxIter` counts TOTAL supersteps including
+    * the pre-crash ones, matching the reference's iteration cap semantics.
+    */
+  def loopResumable(
+      init: => DataFrame,
+      step: Step,
+      cfg: graft.model.RunConfig,
+      algo: String): LoopResult = {
+    cfg.checkpointDir match {
+      case None =>
+        loop(init, step, cfg.maxIter, cfg.convergenceThreshold,
+          None, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = algo)
+      case Some(dir) =>
+        val (state, doneIter, converged) = {
+          val spark = org.apache.spark.sql.SparkSession.active
+          resumeOrInit(spark, dir, init)
+        }
+        if (converged) LoopResult(state.drop("_chg"), 0, converged = true, Nil)
+        else loop(state, step, cfg.maxIter, cfg.convergenceThreshold,
+          Some(dir), cfg.checkpointEvery, cfg.localCheckpointEvery,
+          startIter = doneIter, algo = algo)
+    }
   }
 
   /** Resume state from the newest committed checkpoint under `dir`, or fall
@@ -161,7 +190,7 @@ object Superstep {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val manifest =
       s"""{"algo":"${algo}","iteration":$iteration,"changed":$changed,""" +
-      s""""rows":$rows,"converged":${changed == 0L},""" +
+      s""""rows":$rows,"converged":${changed <= 0L},""" +
       s""""perPartitionRows":[${perPart.map(_._2).mkString(",")}]}"""
     val conf = spark.sparkContext.hadoopConfiguration
     val mf = new Path(s"$dir/iter=$iteration/manifest.json")
