@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64Expr
+
+/** Deduplication operators for training-data pipelines over
+  * `documents(doc_id, text, ...)`:
+  *
+  *  - exact: hash-groupBy on md5(text) — one shuffle, keeps min doc_id
+  *  - MinHash + LSH: shingle → k-perm minhash signature → banded bucket
+  *    join → exact-Jaccard verification of candidates only
+  *  - SimHash: 64-bit signature + Hamming-radius candidate pairing
+  *  - n-gram Jaccard: exact similarity for a candidate pair set
+  *
+  * Scale shape: signatures are computed in a single codegen'd projection
+  * (no UDFs except the native SimHash expression); candidate generation is
+  * an equi-join on (band, bucket) keys, so the only quadratic work is within
+  * a bucket — the standard LSH guarantee. All hashes are xxhash64-based and
+  * deterministic across parallelism.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text with its kept id
+    * (min doc_id) and multiplicity.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Documents surviving exact dedup (min doc_id per identical text). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("_h", md5(col("text").cast("binary")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_h")).orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1).drop("_h", "_rk")
+
+  /** Word-level w-shingles of the lower-cased token stream. */
+  def shinglesCol(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokensCol(text)
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
+      .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** k-permutation MinHash signature of a shingle array (xxhash64 with the
+    * permutation index as seed column — deterministic, codegen'd).
+    */
+  def minhashCol(shingles: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => coalesce(array_min(transform(shingles, s => xxhash64(s, j))),
+        lit(Long.MaxValue)))
+
+  /** Candidate near-duplicate pairs via banded LSH over minhash signatures:
+    * b bands of r rows (k = b·r); docs sharing any band bucket become a
+    * candidate pair, then exact shingle Jaccard ≥ `threshold` confirms.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      w: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val k = bands * rows
+    val withSig = docs.select(
+      col("doc_id"),
+      shinglesCol(col("text"), w).as("shingles"))
+      .withColumn("sig", minhashCol(col("shingles"), k))
+      .filter(size(col("shingles")) > 0)
+    val banded = withSig.select(
+      col("doc_id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), lit(b * rows + 1), lit(rows)), _.cast("string"))), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+    withJaccard(cand).filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard over shingle arrays already attached as sh_a / sh_b. */
+  private def withJaccard(pairs: DataFrame): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    pairs.withColumn("jaccard",
+      round(when(union > 0, inter / union).otherwise(0.0), 6))
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair list
+    * `(doc_a, doc_b)` against the documents table.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, w: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shinglesCol(col("text"), w).as("sh"))
+    val withA = pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+    val withB = withA.join(sh.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+    withJaccard(withB).select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash signatures per document. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      SimHash64Expr.simhash64(
+        transform(TextAnalysis.tokensCol(col("text")), t => xxhash64(t)))
+        .as("simhash"))
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits, using the
+    * standard block-permutation trick: split the 64-bit signature into
+    * (maxHamming+1) blocks — two signatures within radius share at least
+    * one exact block (pigeonhole), so candidates come from an equi-join on
+    * (block index, block value), never a cross join.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = simhashSignatures(docs)
+    // block index baked in as a Scala literal (shift amounts must be
+    // constants), block array exploded into (block, value) join keys
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until blocks).map(b =>
+        blockCol(col("simhash"), b, width)): _*)))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "bval")
+    val a = blocked.select(col("block"), col("bval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = blocked.select(col("block"), col("bval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("block", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        SimHash64Expr.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Extract block b (width w bits) of a signature without variable shifts
+    * (Spark's shift functions take literal amounts only inside transform).
+    */
+  private def blockCol(sig: Column, b: Int, width: Int): Column =
+    shiftrightunsigned(sig, b * width).bitwiseAND(lit((1L << width) - 1))
+}

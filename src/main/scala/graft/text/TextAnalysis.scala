@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents(doc_id, text, lang, source, n_chars)` table: tokenization,
+  * language identification, quality scoring, and document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs in
+  * the hot path — so a 100 TB corpus scan stays inside whole-stage codegen
+  * with full column pruning (only `text` is read when only `text` is used).
+  */
+object TextAnalysis {
+
+  /** Lower-cased word tokens: unicode letter/digit runs. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** Whitespace token count (the cheap, language-agnostic count). */
+  def wsTokenCountCol(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count estimate: word tokens are weighted by
+    * ceil(len/4) — a deterministic proxy for byte-pair-encoded token counts
+    * (≈4 chars/token for latin text), usable for corpus budgeting without a
+    * tokenizer model.
+    */
+  def bpeTokenCountCol(text: Column): Column =
+    coalesce(aggregate(tokensCol(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")), lit(0L))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"))
+
+  /** Distinct-stopword hits for one language's list. */
+  private def hits(tokens: Column, lang: String): Column =
+    size(array_intersect(tokens, array(stopwords(lang).map(lit): _*)))
+
+  /** Heuristic language id over {en, es, fr, de}: the language whose
+    * stopword list overlaps the token set most; ties broken alphabetically;
+    * no hits at all → "und" (undetermined). N-gram-free by design — cheap,
+    * deterministic, and good enough for pipeline routing; scores are
+    * exposed so callers can threshold.
+    */
+  def langIdStruct(text: Column): Column = {
+    val toks = tokensCol(text)
+    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
+      struct(hits(toks, l).as("score"), lit(l).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0,
+      struct(best.getField("lang").as("lang"), best.getField("score").as("score")))
+      .otherwise(struct(lit("und").as("lang"), lit(0).as("score")))
+  }
+
+  def langIdCol(text: Column): Column = langIdStruct(text).getField("lang")
+
+  /** Quality score in [0,1]: penalizes extreme length, high punctuation /
+    * digit density, low stopword density and word-length outliers — the
+    * standard cheap filters (Gopher/C4-style heuristics) as one codegen'd
+    * expression.
+    */
+  def qualityStruct(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokensCol(text)
+    val nTok = size(toks).cast("double")
+    val meanWordLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val punct = (len - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+      greatest(len, lit(1.0))
+    val digits = (len - length(regexp_replace(text, "[0-9]", ""))) /
+      greatest(len, lit(1.0))
+    val stopHits = size(array_intersect(toks,
+      array(stopwords.values.flatten.toSeq.distinct.map(lit): _*))).cast("double")
+    val stopRatio = when(nTok > 0, stopHits / least(nTok, lit(40.0))).otherwise(0.0)
+    val lenScore = when(len >= 50 && len <= 20000, 1.0)
+      .when(len > 0, 0.5).otherwise(0.0)
+    val wordScore = when(meanWordLen >= 3 && meanWordLen <= 10, 1.0).otherwise(0.5)
+    val punctScore = when(punct <= 0.2, 1.0).otherwise(greatest(lit(0.0), lit(1.0) - punct))
+    val digitScore = when(digits <= 0.2, 1.0).otherwise(greatest(lit(0.0), lit(1.0) - digits))
+    val stopScore = least(lit(1.0), stopRatio * 2.0)
+    val score = (lenScore * 0.25 + wordScore * 0.2 + punctScore * 0.2 +
+      digitScore * 0.15 + stopScore * 0.2)
+    struct(
+      round(score, 6).as("quality"),
+      nTok.cast("long").as("n_tokens"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(punct, 6).as("punct_ratio"),
+      round(digits, 6).as("digit_ratio"))
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: xxhash64 chained over the
+    * token sequence (a rolling hash — reordered words change it, making it
+    * a stricter identity than a bag-of-words hash).
+    */
+  def fingerprintCol(text: Column): Column =
+    coalesce(aggregate(tokensCol(text), lit(0L), (acc, t) => xxhash64(acc, t)),
+      lit(0L))
+
+  /** One-stop enrichment of a documents table. */
+  def analyze(docs: DataFrame): DataFrame = {
+    val q = qualityStruct(col("text"))
+    docs.select(
+      col("doc_id"),
+      langIdCol(col("text")).as("pred_lang"),
+      q.getField("quality").as("quality"),
+      q.getField("n_tokens").as("n_tokens"),
+      wsTokenCountCol(col("text")).cast("long").as("n_ws_tokens"),
+      bpeTokenCountCol(col("text")).as("n_bpe_tokens"),
+      q.getField("mean_word_len").as("mean_word_len"),
+      q.getField("punct_ratio").as("punct_ratio"),
+      fingerprintCol(col("text")).as("fingerprint"))
+  }
+}

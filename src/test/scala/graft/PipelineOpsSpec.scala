@@ -1,0 +1,170 @@
+package graft
+
+import graft.text.{Dedup, TextAnalysis}
+import graft.sim.Knn
+import graft.mm.Multimodal
+import graft.functions.SimHash64Expr
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup (exact / minhash-LSH / simhash /
+  * n-gram jaccard), text analysis, ANN search, multimodal plumbing.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog near the wide river bank"), // near dup of 1
+    (4L, "El rapido zorro marron salta sobre el perro perezoso en la ribera"),
+    (5L, "Completely different content about databases and query engines"),
+    (6L, "the and of to in is that it for was the and of to in is")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: min doc_id kept per identical text") {
+    val groups = Dedup.exactGroups(docs).collect()
+    groups.map(_.getLong(2)).sum shouldBe 6 // all docs accounted for
+    val dupGroup = groups.find(_.getLong(2) == 2L).get
+    dupGroup.getLong(1) shouldBe 1L // keeper = min(1,2)
+    Dedup.exactDedup(docs).collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L, 4L, 5L, 6L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, w = 3, bands = 16, rows = 4,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // identical
+    pairs should contain((1L, 3L)) // near dup
+    pairs should contain((2L, 3L))
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 5L
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
+  test("simhash: identical texts collide, near-dups within small hamming") {
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(2L)
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) should be <= 12
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(5L)) should be > 12
+    val nd = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    nd should contain((1L, 2L))
+  }
+
+  test("ngram jaccard on explicit pairs") {
+    val pairs = Seq((1L, 2L), (1L, 5L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    j((1L, 2L)) shouldBe 1.0
+    j((1L, 5L)) shouldBe 0.0
+  }
+
+  test("language id: stopword heuristic routes en/es, und for no hits") {
+    val lid = docs.select($"doc_id", TextAnalysis.langIdCol($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    lid(1L) shouldBe "en"
+    lid(4L) shouldBe "es"
+    val none = Seq((9L, "zzz qqq xxx")).toDF("doc_id", "text")
+      .select(TextAnalysis.langIdCol($"text")).head().getString(0)
+    none shouldBe "und"
+  }
+
+  test("token counting: ws and bpe-ish counts") {
+    val row = Seq((1L, "Hello wonderful world")).toDF("doc_id", "text")
+      .select(
+        TextAnalysis.wsTokenCountCol($"text").as("ws"),
+        TextAnalysis.bpeTokenCountCol($"text").as("bpe")).head()
+    row.getInt(0) shouldBe 3
+    // ceil(5/4)+ceil(9/4)+ceil(5/4) = 2+3+2
+    row.getLong(1) shouldBe 7L
+    Seq((1L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokenCountCol($"text")).head().getLong(0) shouldBe 0L
+  }
+
+  test("quality scoring: clean prose beats stopword soup and empty text") {
+    val q = TextAnalysis.analyze(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    q(1L) should be > q(6L) * 0.9
+    val empty = TextAnalysis.analyze(Seq((9L, "")).toDF("doc_id", "text"))
+      .head().getAs[Double]("quality")
+    empty should be < 0.5
+  }
+
+  test("fingerprint: order-sensitive, deterministic across partitioning") {
+    val f1 = docs.select($"doc_id", TextAnalysis.fingerprintCol($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f1(1L) shouldBe f1(2L)
+    f1(1L) should not be f1(3L)
+    val reordered = Seq((1L, "dog lazy the over jumps fox brown quick The"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintCol($"text")).head().getLong(0)
+    reordered should not be f1(1L)
+    val f2 = docs.repartition(7)
+      .select($"doc_id", TextAnalysis.fingerprintCol($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f2 shouldBe f1
+  }
+
+  private def syntheticVectors(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      val v = Array.tabulate(dim)(j =>
+        ((graft.functions.SplitMix64Expr.mix(i.toLong * dim + j) % 1000) / 1000.0f))
+      (i.toLong, v)
+    }
+
+  test("brute-force cosine top-k matches a local computation exactly") {
+    val dim = 16
+    val data = syntheticVectors(60, dim)
+    val corpus = data.toDF("id", "vec")
+    val queries = data.take(3).toDF("id", "vec")
+    val got = Knn.bruteTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    data.take(3).foreach { case (qid, qv) =>
+      val expect = data.filter(_._1 != qid)
+        .map { case (id, v) => (id, BigDecimal(cos(qv, v)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      (1 to 5).map(r => got((qid, r))) shouldBe expect
+    }
+  }
+
+  test("LSH top-k achieves high recall vs brute force") {
+    val dim = 16
+    val data = syntheticVectors(120, dim)
+    val corpus = data.toDF("id", "vec")
+    val queries = data.take(5).toDF("id", "vec")
+    val brute = Knn.bruteTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lshTopK(corpus, queries, dim, k = 5, bits = 6, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    recall should be >= 0.6
+  }
+
+  test("multimodal: feature extraction + frame sampling plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats.length shouldBe 30
+    feats.foreach(_.feature.length shouldBe 8)
+    // determinism across partitioning
+    val feats2 = Multimodal.extractFeatures(media.repartition(7)).collect()
+    feats2.map(f => f.media_id -> f.feature.toSeq).toMap shouldBe
+      feats.map(f => f.media_id -> f.feature.toSeq).toMap
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
+    frames.foreach(_.frame_bytes.length shouldBe 8)
+    val byId = frames.groupBy(_.media_id)
+    byId.keySet shouldBe media.collect().filter(_.kind == "video").map(_.media_id).toSet
+    val plan = Multimodal.resizePlan(media.toDF(), 32).collect()
+    plan.foreach { r =>
+      r.getAs[Int]("out_width") should be <= 32
+      r.getAs[Int]("out_height") should be <= 32
+    }
+  }
+}
