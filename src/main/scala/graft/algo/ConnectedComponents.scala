@@ -80,11 +80,15 @@ object ConnectedComponents {
       }.head()
   }
 
-  /** Order-insensitive distributed fingerprint: sum of xxhash64(id, value)
-    * over all rows — identical across any partitioning, O(1) driver data.
+  /** Order-insensitive distributed fingerprint: XOR-fold of xxhash64 over
+    * all rows (XOR is associative/commutative → identical across any
+    * partitioning, O(1) driver data, no ANSI overflow — unlike a Long sum).
+    * Collision caveat: duplicate rows cancel pairwise; callers fingerprint
+    * keyed result sets (unique ids), where that cannot happen.
     */
   def fingerprint64(df: DataFrame): Long = {
     val cols = df.columns.map(col)
-    df.agg(sum(xxhash64(cols: _*))).head().getLong(0)
+    val r = df.agg(bit_xor(xxhash64(cols: _*))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 }

@@ -56,10 +56,16 @@ object LabelPropagation {
     import spark.implicits._
 
     // adjacency at rest: duplicate edges collapsed to a weight, partitioned
-    // by dst once so every gather join reuses the same exchange
-    val packed = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
-      .repartition($"dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // by dst once so every gather join reuses the same exchange; with
+    // salting enabled, hub dst keys are split across hubSaltK partitions
+    val packedRaw = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    val saltPlan: Option[graft.graph.SkewJoin.SaltPlan] =
+      if (cfg.hubSaltK > 1)
+        Some(graft.graph.SkewJoin.plan(packedRaw, "dst", "src",
+          cfg.hubSaltK, cfg.hubDegreeThreshold))
+      else None
+    val packed = saltPlan.map(_.salted).getOrElse(
+      packedRaw.repartition($"dst").persist(StorageLevel.MEMORY_AND_DISK))
     val edgeCount = packed.agg(sum($"w")).head().getLong(0)
 
     val dedupedSeeds = graft.io.EdgeTsv.dedupSeeds(seeds)
@@ -79,12 +85,21 @@ object LabelPropagation {
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val labels = state.select($"id", $"label")
-      val gather = packed.join(labels, packed("dst") === labels("id"))
-        .select(packed("src"), labels("label"), packed("w"))
+      val gather = saltPlan match {
+        case Some(p) =>
+          graft.graph.SkewJoin.joinState(p, labels, "id")
+            .select($"src", $"label", $"w")
+        case None =>
+          packed.join(labels, packed("dst") === labels("id"))
+            .select(packed("src"), labels("label"), packed("w"))
+      }
+      // single-exchange majority: partial label→count maps combine map-side
+      // (vs the two-level groupBy(src,label)→groupBy(src) plan, which costs
+      // an extra shuffle per superstep)
       val votes = gather
-        .groupBy($"src", $"label").agg(sum($"w").as("cnt"))
-        .groupBy($"src").agg(max(struct($"cnt", (-$"label").as("neg"))).as("m"))
-        .select($"src".as("id"), (-$"m.neg").as("vote"))
+        .groupBy($"src")
+        .agg(graft.functions.MajorityVoteAgg.majorityVote($"label", $"w").as("vote"))
+        .select($"src".as("id"), $"vote")
       state.as("s").join(votes.as("v"), Seq("id"), "full_outer")
         .select(
           $"id",
@@ -104,6 +119,7 @@ object LabelPropagation {
     val labelsOut = res.state.filter($"label".isNotNull)
       .select($"id", $"label").as[VertexLabel]
     packed.unpersist(blocking = false)
+    saltPlan.foreach(_.hotKeys.unpersist(blocking = false))
     dedupedSeeds.unpersist(blocking = false)
     LpResult(labelsOut, res.iterations, res.converged, res.stats, edgeCount)
   }

@@ -55,10 +55,17 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = packed.groupBy($"src").agg(sum($"w").as("deg"))
     // contribution weight per distinct (src,dst): multiplicity / outDegree
-    val contrib = packed.join(outDeg, "src")
+    val contribRaw = packed.join(outDeg, "src")
       .select($"src", $"dst", ($"w".cast("double") * (lit(1.0) / $"deg")).as("cw"))
-      .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // scatter-side hub salting: a src with 10^7 out-edges would pin one
+    // reducer; split it across hubSaltK salted partitions (SkewJoin)
+    val saltPlan: Option[graft.graph.SkewJoin.SaltPlan] =
+      if (cfg.hubSaltK > 1)
+        Some(graft.graph.SkewJoin.plan(contribRaw, "src", "dst",
+          cfg.hubSaltK, cfg.hubDegreeThreshold))
+      else None
+    val contrib = saltPlan.map(_.salted).getOrElse(
+      contribRaw.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK))
     contrib.count()
     packed.unpersist(blocking = false)
 
@@ -74,8 +81,12 @@ object PageRank {
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier = (if (iter == 0) state else state.filter($"_chg"))
         .filter($"delta" > tol).select($"id", $"delta")
-      val msgs = contrib.join(frontier, contrib("src") === frontier("id"))
-        .groupBy(contrib("dst").as("id"))
+      val scattered = saltPlan match {
+        case Some(p) => graft.graph.SkewJoin.joinState(p, frontier, "id")
+        case None => contrib.join(frontier, contrib("src") === frontier("id"))
+      }
+      val msgs = scattered
+        .groupBy(col("dst").as("id"))
         .agg(sum($"delta" * $"cw").as("msg"))
       state.select($"id", $"rank", $"delta").join(msgs, Seq("id"), "left_outer")
         .select(
@@ -98,6 +109,7 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val agg = ranks.agg(max($"rank"), sum($"rank")).head()
     contrib.unpersist(blocking = false)
+    saltPlan.foreach(_.hotKeys.unpersist(blocking = false))
     vertices.unpersist(blocking = false)
     PrResult(ranks, res.iterations, numVertices,
       agg.getDouble(0), agg.getDouble(1), res.stats)

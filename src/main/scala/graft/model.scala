@@ -90,5 +90,11 @@ object model {
       tolerance: Double = 1e-6,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
-      localCheckpointEvery: Int = 1)
+      localCheckpointEvery: Int = 1,
+      // hub-skew salting for the superstep gather join (graph/SkewJoin):
+      // keys with more than hubDegreeThreshold edge rows are split into
+      // hubSaltK salted partitions. 0/1 disables. Uniform benchmark graphs
+      // don't need it; power-law web graphs set e.g. (32, 2_000_000).
+      hubSaltK: Int = 0,
+      hubDegreeThreshold: Long = 2000000L)
 }
