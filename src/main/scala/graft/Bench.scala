@@ -45,11 +45,25 @@ object Bench {
     s
   }
 
-  /** LP + PR on the synthetic reference graph; returns (lpSec, lpIters,
-    * prSec, prIters, edges, perVertexFingerprint).
+  /** One LP + PR convergence run on the synthetic reference graph.
+    * `medIterSec` is the median per-superstep wall time — the noise-robust
+    * cost estimator on a host with CPU-steal spikes (each superstep is an
+    * independent sample of the same work; the reference's own evidence
+    * style is per-iteration phase windows, `runtime_metrics.py:81-183`).
     */
-  def graphBench(spark: SparkSession, n: Long, density: Int)
-      : (Double, Int, Double, Int, Long, Long, Long) = {
+  final case class GraphRun(
+      lpWallSec: Double, lpIters: Int, lpMedIterSec: Double,
+      prWallSec: Double, prIters: Int, prMedIterSec: Double,
+      edges: Long, lpFp: Long, prFp: Long)
+
+  private def median(xs: Seq[Long]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2).toDouble
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  def graphBench(spark: SparkSession, n: Long, density: Int): GraphRun = {
     val edges = SyntheticGraph.randomEdges(spark, n, density)
     val seeds = SyntheticGraph.seeds(spark, n)
     val lp = timed(LabelPropagation.run(edges, seeds))
@@ -57,7 +71,9 @@ object Bench {
     val pr = timed(PageRank.run(edges))
     val prFp = ConnectedComponents.fingerprint64(
       pr.value.ranks.toDF().select(col("id"), round(col("rank"), 6).as("r")))
-    (lp.sec, lp.value.iterations, pr.sec, pr.value.iterations,
+    GraphRun(
+      lp.sec, lp.value.iterations, median(lp.value.stats.map(_.computeMs)) / 1e3,
+      pr.sec, pr.value.iterations, median(pr.value.stats.map(_.computeMs)) / 1e3,
       n * density, lpFp, prFp)
   }
 
@@ -85,17 +101,20 @@ object Bench {
     results += "triangles_derived" -> tc.sec
 
     // synthetic reference-topology graph, north-rule metric
-    val g = timed(graphBench(spark, benchNodes, 10))
-    val (lpSec, lpIters, prSec, prIters, synEdges, _, _) = g.value
-    results += "lp_synth" -> lpSec
-    results += "pagerank_synth" -> prSec
-    val lpThroughput = synEdges.toDouble * lpIters / lpSec
-    val prThroughput = synEdges.toDouble * prIters / prSec
-    extras += "lp_synth_iters" -> lpIters.toString
-    extras += "pr_synth_iters" -> prIters.toString
-    extras += "synth_edges" -> synEdges.toString
-    extras += "lp_edges_iters_per_sec" -> f"$lpThroughput%.0f"
-    extras += "pr_edges_iters_per_sec" -> f"$prThroughput%.0f"
+    val g = graphBench(spark, benchNodes, 10)
+    results += "lp_synth" -> g.lpWallSec
+    results += "pagerank_synth" -> g.prWallSec
+    extras += "lp_synth_iters" -> g.lpIters.toString
+    extras += "pr_synth_iters" -> g.prIters.toString
+    extras += "synth_edges" -> g.edges.toString
+    extras += "lp_edges_iters_per_sec" ->
+      f"${g.edges.toDouble * g.lpIters / g.lpWallSec}%.0f"
+    extras += "pr_edges_iters_per_sec" ->
+      f"${g.edges.toDouble * g.prIters / g.prWallSec}%.0f"
+    extras += "lp_edges_per_sec_per_superstep_median" ->
+      f"${g.edges.toDouble / g.lpMedIterSec}%.0f"
+    extras += "pr_edges_per_sec_per_superstep_median" ->
+      f"${g.edges.toDouble / g.prMedIterSec}%.0f"
 
     // documents pipeline sweep
     val docs = Tables.table(spark, sfDir, "documents").cache()

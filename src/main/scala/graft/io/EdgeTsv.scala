@@ -85,4 +85,50 @@ object EdgeTsv {
     df.orderBy(col(idCol))
       .select(concat_ws("\t", col(idCol), col(valCol)).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** S4 — lpst JSON graph fixture loader (`lpst/README.md:92-116`):
+    * `{"edges": [[0,1],...], "labeled_nodes": {"0": 1}, "num_nodes": N}`.
+    * Explicit schema (no inference pass); labeled_nodes keys are node ids
+    * as strings per the reference format. Returns (edges, seeds, numNodes).
+    */
+  def readJsonGraph(spark: SparkSession, path: String)
+      : (Dataset[Edge], Dataset[Seed], Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("edges", ArrayType(ArrayType(LongType))),
+      StructField("labeled_nodes", MapType(StringType, LongType)),
+      StructField("num_nodes", LongType)))
+    val df = spark.read.schema(schema)
+      .option("multiLine", "true").json(path)
+    val edges = df.select(explode($"edges").as("e"))
+      .select(element_at($"e", 1).as("src"), element_at($"e", 2).as("dst"))
+      .as[Edge]
+    val seeds = dedupSeeds(
+      df.select(explode($"labeled_nodes").as(Seq("k", "label")))
+        .select($"k".cast("long").as("node"), $"label").as[Seed])
+    val n = df.select($"num_nodes").head().getLong(0)
+    (edges, seeds, n)
+  }
+
+  /** S9 — sharded TSV writer (`setup_large_lp_data.py:98-107`): edges (+
+    * optional seed label on src) written as `part-*` files sharded by
+    * `src % numShards`, the layout the reference's workers consume
+    * one-shard-per-worker. We keep the modulo layout for byte parity; at
+    * engine scale the parquet/Iceberg path replaces this sink.
+    */
+  def writeShards(edges: Dataset[Edge], seeds: Dataset[Seed],
+                  numShards: Int, path: String): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val s = seeds.groupBy($"node").agg(min($"label").as("label"))
+    edges.join(s, edges("src") === s("node"), "left_outer")
+      .select(
+        when($"label".isNotNull,
+          concat_ws("\t", $"src", $"dst", $"label"))
+          .otherwise(concat_ws("\t", $"src", $"dst")).as("value"),
+        pmod($"src", lit(numShards.toLong)).as("shard"))
+      .repartition(numShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").text(path)
+  }
 }
