@@ -40,6 +40,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // iterative loops retire one persisted/localCheckpointed state per
+      // superstep; their blocks are reclaimed by ContextCleaner only after
+      // a JVM GC, which a large mostly-idle heap may not run for minutes —
+      // storage then fills with dead blocks and later supersteps crawl.
+      // Frequent periodic GC keeps block reclamation prompt.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -19,6 +19,7 @@ object ProfileLp {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val edges = SyntheticGraph.randomEdges(spark, n, 10)
