@@ -18,4 +18,5 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.local.dir="${SPARK_GRAFT_LOCAL_DIR:-/tmp}" \
   -cp "$CP" "$@"
