@@ -122,6 +122,28 @@ object Bench {
     extras += "pr_edges_per_sec_per_superstep_median" ->
       f"${g.edges.toDouble / g.prMedIterSec}%.0f"
 
+    // high-diameter CC: alternating large-star/small-star on a 1M-node
+    // path graph (diameter 10^6 — plain min-propagation would need 10^6
+    // rounds; star contraction lands in ~log² rounds)
+    val pathEdges = spark.range(999999L)
+      .select($"id".as("src"), ($"id" + 1L).as("dst")).as[Edge]
+    val ccStar = timed(ConnectedComponents.runStar(pathEdges))
+    results += "cc_star_path1m" -> ccStar.sec
+    extras += "cc_star_path1m_rounds" -> ccStar.value.iterations.toString
+    extras += "cc_star_path1m_components" -> ccStar.value.componentCount.toString
+
+    // per-superstep phase windows (reference evidence style,
+    // runtime_metrics.py:81-183): median wall ms of the gather and apply
+    // stages across the synthetic PR run
+    def medPhase(stats: List[Superstep.IterStats], phase: String): Double =
+      median(stats.flatMap(_.phases.filter(_.phase == phase).map(_.wallMs)))
+    val prStats = pr.value.stats
+    extras += "pr_derived_gather_med_ms" -> f"${medPhase(prStats, "gather")}%.0f"
+    extras += "pr_derived_apply_med_ms" -> f"${medPhase(prStats, "apply")}%.0f"
+    val lpStats = lp.value.stats
+    extras += "lp_derived_gather_med_ms" -> f"${medPhase(lpStats, "gather")}%.0f"
+    extras += "lp_derived_apply_med_ms" -> f"${medPhase(lpStats, "apply")}%.0f"
+
     // documents pipeline sweep
     val docs = Tables.table(spark, sfDir, "documents").cache()
     docs.count()

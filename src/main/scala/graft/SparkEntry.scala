@@ -175,8 +175,13 @@ object SparkEntry {
     "q_media_pipeline" -> ((s, _) => {
       import s.implicits._
       val media = graft.mm.Multimodal.syntheticMedia(s, 200L)
+      // exploded to one scalar per (media_id, dim): the driver's compare
+      // harness sorts/hashes cell values, which an array<float> cell breaks
       graft.mm.Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("feature")).orderBy(col("media_id"))
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").as("dim"),
+          round(col("col").cast("double"), 6).as("value"))
+        .orderBy(col("media_id"), col("dim"))
     }),
 
     // ---- pages front-end on synthesized input ----
@@ -225,6 +230,24 @@ object SparkEntry {
     "q_undirected_canon" ->
       s"""SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM ($edgesSql) WHERE src <> dst""",
+    // BFS min-hop levels via bounded recursive CTE: each recursion step
+    // advances the frontier one level, UNION dedups (id, lvl) pairs, and
+    // min(lvl) per id is the exact BFS level once the bound (100) exceeds
+    // the graph's eccentricity from the source. SSSP has NO DuckDB oracle:
+    // with real-valued path sums the recursive UNION never dedups and the
+    // enumeration of distinct path sums explodes (DuckDB 1.0 lacks the
+    // keyed recursive-CTE fixpoint of later versions) — SSSP stays on the
+    // Bellman-Ford serial-oracle differential in GraphAlgoSpec.
+    "v4_bfs" ->
+      s"""WITH RECURSIVE e AS (
+            SELECT DISTINCT src, dst FROM ($edgesSql)
+          ), reach(id, lvl) AS (
+            SELECT (SELECT min(src) FROM ($edgesSql)) AS id, 0 AS lvl
+            UNION
+            SELECT e.dst, reach.lvl + 1 FROM reach JOIN e ON e.src = reach.id
+            WHERE reach.lvl < 100
+          )
+          SELECT id, CAST(min(lvl) AS BIGINT) AS level FROM reach GROUP BY id ORDER BY id""",
     "v3_cc" ->
       s"""WITH RECURSIVE und AS (
             SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM ($edgesSql) WHERE src <> dst

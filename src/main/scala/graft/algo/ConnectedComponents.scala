@@ -62,6 +62,97 @@ object ConnectedComponents {
     CcResult(comps, res.iterations, nComp, res.stats)
   }
 
+  /** Weakly-connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), converging in O(log² n) rounds *independent of graph
+    * diameter* — the scale path for high-diameter graphs (long chains,
+    * crawl frontiers), where [[run]]'s min-propagation needs
+    * diameter-many rounds. Identical output contract: component = min
+    * vertex id in the weak component (equivalence-tested against [[run]],
+    * and round-bounded on a path graph in DiameterSpec).
+    *
+    * Each round is two relational half-steps over the evolving edge list:
+    *  - large-star: every node points its *larger* neighbours at the
+    *    minimum of its neighbourhood (incl. itself)
+    *  - small-star: every node and its smaller neighbours re-point at that
+    *    minimum — after large-star all edges already point large→small.
+    * Convergence: the (distinct) edge multiset is a fixpoint — detected by
+    * an order-insensitive xxhash64 XOR fingerprint + count on the persisted
+    * set (one tiny agg job per round on cached data).
+    */
+  def runStar(edges: Dataset[Edge], maxRounds: Int = 100): CcResult = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val vertices = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var g = edges.select(
+      least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .select($"v".as("u"), $"u".as("v")) // point large→small like small-star input
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing = g // owns the persisted blocks behind the current view
+    var fp = fingerprintAndCount(g)
+    var rounds = 0
+    var converged = false
+    var stats = List.empty[Superstep.IterStats]
+    while (!converged && rounds < maxRounds) {
+      val t0 = System.nanoTime()
+      // large-star: Γ taken over both directions; m(u) = min(Γ(u) ∪ {u});
+      // every neighbour v > u re-points to m(u)
+      val bidir = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v")))
+      val minsL = bidir.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val ls = bidir.join(minsL, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+      // small-star: all edges now point large→small; m(u) = min(N(u) ∪ {u});
+      // u and its neighbours except m re-point to m
+      val minsS = ls.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ls.join(minsS, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(minsS.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newFp = fingerprintAndCount(ss) // materializes the persisted set
+      // logical-plan truncation every round (each half-step references its
+      // input twice → untruncated plans double per round); a real
+      // localCheckpoint every 8 rounds bounds the RDD DAG
+      val (view, newBacking) = if ((rounds + 1) % 8 == 0) {
+        val lc = ss.localCheckpoint(eager = true)
+        ss.unpersist(blocking = false)
+        (lc, lc)
+      } else (org.apache.spark.sql.GraftSqlShim.truncatedView(ss), ss)
+      backing.unpersist(blocking = false)
+      g = view
+      backing = newBacking
+      rounds += 1
+      converged = newFp == fp
+      fp = newFp
+      stats ::= Superstep.IterStats(rounds, if (converged) 0 else 1, newFp._2,
+        (System.nanoTime() - t0) / 1000000L, 0)
+    }
+
+    val comps = vertices
+      .join(g.select($"u".as("id"), $"v".as("c")), Seq("id"), "left_outer")
+      .select($"id", coalesce($"c", $"id").as("component"))
+      .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
+    val nComp = comps.agg(countDistinct($"component")).head().getLong(0)
+    backing.unpersist(blocking = false)
+    vertices.unpersist(blocking = false)
+    CcResult(comps, rounds, nComp, stats.reverse)
+  }
+
+  private def fingerprintAndCount(df: DataFrame): (Long, Long) = {
+    val r = df.agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
   /** Order-sensitive FNV-64 fingerprint of the component column sorted by
     * vertex id — exact parity with `connected_components_shell.scala:34-37,
     * 77-83`. FNV chaining cannot be merged across partitions, so this runs

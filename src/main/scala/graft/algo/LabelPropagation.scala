@@ -40,6 +40,13 @@ import graft.model._
   */
 object LabelPropagation {
 
+  /** Effective salt factor: None = disabled, Some(k) = detect-and-salt. */
+  private[algo] def saltK(cfg: RunConfig): Option[Int] = cfg.hubSaltK match {
+    case 0 | 1 => None
+    case k if k > 1 => Some(k)
+    case _ => Some(graft.graph.SkewJoin.AutoK) // -1 = auto
+  }
+
   final case class LpResult(
       labels: Dataset[VertexLabel],
       iterations: Int,
@@ -47,11 +54,20 @@ object LabelPropagation {
       stats: List[Superstep.IterStats],
       edgeCount: Long)
 
-  /** Run LP over a directed edge table. `seeds` may be empty → unsupervised. */
+  /** Run LP over a directed edge table. `seeds` may be empty → unsupervised.
+    *
+    * `numNodes`: optional declared vertex-universe size (the TSV/CLI
+    * `num_nodes` argument of the reference). When set, unsupervised init
+    * covers every id in [0, numNodes) — including isolated vertices with no
+    * edges, which keep label = id forever, exactly like `init_labels`
+    * (`lpst/src/lib.rs:158-172`). When absent, the vertex set is derived
+    * from edge endpoints (isolated ids cannot be known).
+    */
   def run(
       edges: Dataset[Edge],
       seeds: Dataset[Seed],
-      cfg: RunConfig = RunConfig()): LpResult = {
+      cfg: RunConfig = RunConfig(),
+      numNodes: Option[Long] = None): LpResult = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -60,10 +76,8 @@ object LabelPropagation {
     // salting enabled, hub dst keys are split across hubSaltK partitions
     val packedRaw = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
     val saltPlan: Option[graft.graph.SkewJoin.SaltPlan] =
-      if (cfg.hubSaltK > 1)
-        Some(graft.graph.SkewJoin.plan(packedRaw, "dst", "src",
-          cfg.hubSaltK, cfg.hubDegreeThreshold))
-      else None
+      saltK(cfg).flatMap(k => graft.graph.SkewJoin.plan(
+        packedRaw, "dst", "src", k, cfg.hubDegreeThreshold))
     val packed = saltPlan.map(_.salted).getOrElse(
       packedRaw.repartition($"dst").persist(StorageLevel.MEMORY_AND_DISK))
     val edgeCount = packed.agg(sum($"w")).head().getLong(0)
@@ -74,9 +88,13 @@ object LabelPropagation {
 
     val init: DataFrame =
       if (unsupervised) {
-        // label(i) = i for every vertex (ow-lp/src/lib.rs:538-546)
-        val vertices = packed.select($"src".as("id"))
-          .union(packed.select($"dst".as("id"))).distinct()
+        // label(i) = i for every vertex (ow-lp/src/lib.rs:538-546); with a
+        // declared universe, isolated ids are covered too (lpst init_labels)
+        val vertices = numNodes match {
+          case Some(n) => spark.range(n).toDF("id")
+          case None => packed.select($"src".as("id"))
+            .union(packed.select($"dst".as("id"))).distinct()
+        }
         vertices.select($"id", $"id".as("label"), lit(false).as("seeded"))
       } else {
         // only seeded vertices carry a label; absent row = UNKNOWN

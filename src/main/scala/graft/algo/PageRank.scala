@@ -60,10 +60,8 @@ object PageRank {
     // scatter-side hub salting: a src with 10^7 out-edges would pin one
     // reducer; split it across hubSaltK salted partitions (SkewJoin)
     val saltPlan: Option[graft.graph.SkewJoin.SaltPlan] =
-      if (cfg.hubSaltK > 1)
-        Some(graft.graph.SkewJoin.plan(contribRaw, "src", "dst",
-          cfg.hubSaltK, cfg.hubDegreeThreshold))
-      else None
+      LabelPropagation.saltK(cfg).flatMap(k => graft.graph.SkewJoin.plan(
+        contribRaw, "src", "dst", k, cfg.hubDegreeThreshold))
     val contrib = saltPlan.map(_.salted).getOrElse(
       contribRaw.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK))
     contrib.count()

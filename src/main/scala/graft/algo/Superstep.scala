@@ -1,6 +1,7 @@
 package graft.algo
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.hadoop.fs.Path
@@ -12,24 +13,52 @@ import java.nio.charset.StandardCharsets
   * Replaces the reference's hand-rolled reduce+broadcast loop
   * (`ow-lp/src/lib.rs:501-630`) and the GraphX shell's Pregel loop
   * (`labelpropagation_graphx_shell.scala:107-138`) with a driver-side loop
-  * over declarative Dataset plans: each superstep is a fresh Catalyst plan
-  * (predicate pushdown / codegen apply per step), state is persisted and the
-  * previous iteration's state unpersisted, and lineage is truncated with
-  * `localCheckpoint` every `localCheckpointEvery` steps — the GraphX-shell
-  * mistake of one extra `count()` join per superstep (SURVEY.md §7.6) is
-  * avoided by folding the changed-count into the single materializing
-  * aggregation.
+  * over declarative Dataset plans. The GraphX-shell mistake of one extra
+  * `count()` join per superstep (SURVEY.md §7.6) is avoided by folding the
+  * changed-count into the single materializing aggregation via `observe()`.
+  *
+  * Per-superstep cost model (this loop is the engine's hot path — every
+  * avoidable fixed cost here divides directly into scaling efficiency):
+  *  - exactly ONE job per superstep: `count()` on the persisted new state,
+  *    which materializes the cache and fires the changed-count observation;
+  *  - logical-plan lineage is truncated EVERY step at zero execution cost
+  *    by wrapping the cached result's RDD in a `LogicalRDD`
+  *    ([[org.apache.spark.sql.GraftSqlShim.truncatedView]]) — a step
+  *    references its input twice, so an untruncated plan doubles per
+  *    superstep and Catalyst analysis comes to dominate small iterations;
+  *  - the RDD-level DAG (which grows a few nodes per superstep and rides
+  *    along in every task closure) is truncated with a real
+  *    `localCheckpoint` only every `localCheckpointEvery` steps;
+  *  - loop-specific SQL confs (AQE off — its runtime coalescing breaks the
+  *    hash-partitioning match between the persisted edge side and the
+  *    evolving state side; shuffled-hash over sort-merge — per-superstep
+  *    re-sorts are pure waste against a hash-partitioned cached state) are
+  *    scoped to a cloned child session, NOT mutated on the caller's session,
+  *    so concurrent loops / relational queries never race on global conf.
+  *
+  * Per-iteration phase windows (reference evidence style,
+  * `runtime_metrics.py:48-118`): a SparkListener attributes the superstep
+  * job's stages to gather / apply / collect windows with wall time, summed
+  * task time and shuffle bytes; they land in [[IterStats.phases]] and the
+  * checkpoint manifest.
   *
   * Durable checkpointing (the north rule's "resumable mid-convergence"):
   * every `checkpointEvery` iterations the state parquet is written under
   * `dir/iter=K/state` followed by `dir/iter=K/manifest.json` (manifest
   * written last = commit marker, so a torn write is never resumed from).
-  * The manifest carries the changed-count, total and per-partition row
-  * counts, and phase wall times — the per-partition lineage metrics.
-  * [[resumeOrInit]] restarts the loop from the newest committed manifest.
+  * [[resumeOrInit]] restarts the loop from the newest committed manifest
+  * and refuses to resume a checkpoint written by a different algorithm.
   * The reference has no equivalent (a failed worker fails the run).
   */
 object Superstep {
+
+  /** One stage of the superstep job, attributed to a loop phase. */
+  final case class PhaseWindow(
+      phase: String,
+      wallMs: Long,
+      taskTimeMs: Long,
+      shuffleReadBytes: Long,
+      shuffleWriteBytes: Long)
 
   /** Per-iteration phase metrics (reference style: `runtime_metrics.py:81-183`). */
   final case class IterStats(
@@ -37,7 +66,8 @@ object Superstep {
       changed: Long,
       rows: Long,
       computeMs: Long,
-      checkpointMs: Long)
+      checkpointMs: Long,
+      phases: List[PhaseWindow] = Nil)
 
   final case class LoopResult(
       state: DataFrame,
@@ -53,6 +83,35 @@ object Superstep {
     */
   type Step = (DataFrame, Int) => DataFrame
 
+  /** Collects per-stage windows; drained once per superstep. Stage events
+    * for the materializing job are flushed before `Observation.get`
+    * returns (same listener queue), so the drain is race-free for the job
+    * it attributes.
+    */
+  private final class PhaseListener extends SparkListener {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, PhaseWindow)]
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+      val si = ev.stageInfo
+      val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s)
+        .getOrElse(0L)
+      val m = si.taskMetrics
+      val w = PhaseWindow("", wall, m.executorRunTime,
+        m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten)
+      buf.synchronized { buf += ((si.stageId, w)) }
+    }
+    /** Stages completed since the last drain, in stage order, phase-named. */
+    def drain(): List[PhaseWindow] = {
+      val raw = buf.synchronized { val r = buf.sortBy(_._1).toList; buf.clear(); r }
+      val names = raw.size match {
+        // canonical superstep job: map-side gather/scatter + partial agg,
+        // final agg + apply join + persist, single-task count collect
+        case 3 => List("gather", "apply", "collect")
+        case n => (0 until n).map(i => s"stage$i").toList
+      }
+      raw.zip(names).map { case ((_, w), n) => w.copy(phase = n) }
+    }
+  }
+
   /** Run `step` from `init` until the number of changed rows is ≤ `threshold`
     * or `maxIter` supersteps have completed. `startIter` > 0 resumes
     * counting from a checkpoint.
@@ -67,59 +126,77 @@ object Superstep {
       threshold: Long = 0L,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
-      localCheckpointEvery: Int = 4,
+      localCheckpointEvery: Int = 8,
       startIter: Int = 0,
       algo: String = "superstep"): LoopResult = {
+    require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
+    require(localCheckpointEvery > 0,
+      s"localCheckpointEvery must be positive, got $localCheckpointEvery")
 
-    // AQE is disabled inside the loop: its runtime partition coalescing
-    // re-plans every tiny superstep and breaks the hash-partitioning
-    // match between the persisted edge side and the evolving state side
-    // (turning free co-partitioned joins into fresh exchanges). Measured
-    // ~15-20% per-superstep win at 10M edges; AQE stays on for the one-shot
-    // relational queries where skew-split/coalesce actually pay.
-    val session = org.apache.spark.sql.SparkSession.active
-    val aqeBefore = session.conf.get("spark.sql.adaptive.enabled", "true")
-    session.conf.set("spark.sql.adaptive.enabled", "false")
-    // shuffled-hash over sort-merge inside the loop: the per-superstep
-    // gather/apply joins re-sort O(n+m) rows every iteration under SMJ,
-    // while hash join streams them (state fits the per-partition hash map
-    // by construction — it is the persisted, evenly hash-partitioned side)
-    val smjBefore = session.conf.get("spark.sql.join.preferSortMergeJoin", "true")
-    session.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val session = SparkSession.active
+    val loopSession = GraftSqlShim.sessionWithConfs(session,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.join.preferSortMergeJoin" -> "false",
+      // NO broadcast joins inside the loop: with a sub-threshold state the
+      // planner would otherwise collect + re-broadcast the evolving frontier
+      // EVERY superstep (serial driver cost growing with |V| — measured as
+      // the dominant per-superstep fixed cost at 100K vertices, and fatal
+      // to scaling at 4M). The co-partitioned shuffled-hash gather join
+      // needs zero exchanges and builds only |partition|-sized hash maps.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val listener = new PhaseListener
+    session.sparkContext.addSparkListener(listener)
 
-    // localCheckpoint (not plain persist) — a step references its input
-    // more than once, so without lineage truncation the logical plan doubles
-    // every superstep and analysis/AQE cost grows exponentially
-    var state = init.localCheckpoint(eager = true)
+    // initial state: materialized once, lineage truncated
+    var state = GraftSqlShim.bind(loopSession, init).localCheckpoint(eager = true)
+    // the dataset owning `state`'s cached/checkpointed blocks (a truncated
+    // view is only a window onto its backing iteration's cache)
+    var backing: DataFrame = state
     var iter = startIter
     var converged = false
     var stats = List.empty[IterStats]
 
+    val loopTimers = sys.env.contains("SPARK_GRAFT_LOOP_TIMERS")
     try while (iter < maxIter && !converged) {
       val t0 = System.nanoTime()
       val doneIter = iter + 1
       // changed/row counts ride the materializing count() via observe()
       // (accumulator-backed) — no separate aggregation job per superstep,
       // which at converged-frontier sizes costs as much as the superstep
-      val obs = new org.apache.spark.sql.Observation(s"superstep_$doneIter")
-      var next = step(state, iter)
+      val obs = new Observation(s"superstep_$doneIter")
+      val next = GraftSqlShim.bind(loopSession, step(state, iter))
         .observe(obs, count(lit(1)).as("rows"),
           sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val rows = next.count() // one job: caches state + fires the observation
+      val tBuilt = System.nanoTime()
+      if (doneIter == 3 && sys.env.contains("SPARK_GRAFT_EXPLAIN_STEP"))
+        next.explain("formatted") // debug: dump one steady-state superstep plan
+      val rows = next.count() // THE one job: caches state + fires the observation
+      val tCounted = System.nanoTime()
       val metrics = obs.get
+      if (loopTimers) {
+        val tObs = System.nanoTime()
+        System.err.println(f"[loop] iter=$doneIter build=${(tBuilt - t0) / 1e6}%.0fms " +
+          f"count=${(tCounted - tBuilt) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms")
+      }
       val changed = metrics.get("changed").map {
         case null => 0L
         case v => v.asInstanceOf[Long]
       }.getOrElse(0L)
-      // lineage truncation every K supersteps (a step references its input
-      // twice, so the logical plan doubles per untruncated iteration —
-      // bounded at 2^K × base; the checkpoint pass reads from the cache)
-      if ((doneIter - startIter) % localCheckpointEvery == 0) {
-        val cached = next
-        next = next.localCheckpoint(eager = true)
-        cached.unpersist(blocking = false)
-      }
+      val phases = listener.drain()
+
+      // logical lineage truncation every step is free (LogicalRDD over the
+      // cache); a real localCheckpoint every K steps bounds the RDD DAG
+      // that task closures carry
+      val (view, newBacking) =
+        if ((doneIter - startIter) % localCheckpointEvery == 0) {
+          val lc = next.localCheckpoint(eager = true)
+          next.unpersist(blocking = false)
+          (lc, lc)
+        } else (GraftSqlShim.truncatedView(next), next)
+      listener.drain() // discard the localCheckpoint job's stages, if any
+      if (loopTimers)
+        System.err.println(f"[loop] iter=$doneIter total=${(System.nanoTime() - t0) / 1e6}%.0fms")
       val computeMs = (System.nanoTime() - t0) / 1000000L
 
       val t1 = System.nanoTime()
@@ -127,20 +204,17 @@ object Superstep {
         // state is checkpointed WITH its _chg column: frontier algorithms
         // need it to resume with the correct active set
         if (changed <= threshold || doneIter % checkpointEvery == 0 || doneIter >= maxIter)
-          writeCheckpoint(dir, algo, doneIter, changed, rows, next)
+          writeCheckpoint(dir, algo, doneIter, changed, rows, view, threshold, phases)
       }
       val checkpointMs = (System.nanoTime() - t1) / 1000000L
 
-
-      state.unpersist(blocking = false)
-      state = next
+      backing.unpersist(blocking = false)
+      state = view
+      backing = newBacking
       iter = doneIter
-      stats ::= IterStats(doneIter, changed, rows, computeMs, checkpointMs)
+      stats ::= IterStats(doneIter, changed, rows, computeMs, checkpointMs, phases)
       converged = changed <= threshold
-    } finally {
-      session.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      session.conf.set("spark.sql.join.preferSortMergeJoin", smjBefore)
-    }
+    } finally session.sparkContext.removeSparkListener(listener)
     LoopResult(state.drop("_chg"), iter - startIter, converged, stats.reverse)
   }
 
@@ -161,8 +235,8 @@ object Superstep {
           None, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = algo)
       case Some(dir) =>
         val (state, doneIter, converged) = {
-          val spark = org.apache.spark.sql.SparkSession.active
-          resumeOrInit(spark, dir, init)
+          val spark = SparkSession.active
+          resumeOrInit(spark, dir, init, algo)
         }
         if (converged) LoopResult(state.drop("_chg"), 0, converged = true, Nil)
         else loop(state, step, cfg.maxIter, cfg.convergenceThreshold,
@@ -173,13 +247,22 @@ object Superstep {
 
   /** Resume state from the newest committed checkpoint under `dir`, or fall
     * back to `init`. Returns (state, iterationAlreadyCompleted, converged).
+    * A manifest written by a different algorithm (or a pre-`algo` layout)
+    * fails loudly instead of silently returning the other run's state.
     */
   def resumeOrInit(
       spark: SparkSession,
       dir: String,
-      init: => DataFrame): (DataFrame, Int, Boolean) = {
+      init: => DataFrame,
+      expectedAlgo: String): (DataFrame, Int, Boolean) = {
     latestManifest(spark, dir) match {
       case Some((iterDone, manifest)) =>
+        val found = "\"algo\":\"([^\"]*)\"".r
+          .findFirstMatchIn(manifest).map(_.group(1))
+        if (!found.contains(expectedAlgo))
+          throw new IllegalStateException(
+            s"checkpoint at $dir was written by algo '${found.getOrElse("<unknown>")}', " +
+            s"not '$expectedAlgo' — refusing to resume from another run's state")
         val state = spark.read.parquet(s"$dir/iter=$iterDone/state")
         val converged = manifest.contains("\"converged\":true")
         (state, iterDone, converged)
@@ -213,7 +296,8 @@ object Superstep {
 
   private def writeCheckpoint(
       dir: String, algo: String, iteration: Int,
-      changed: Long, rows: Long, state: DataFrame): Unit = {
+      changed: Long, rows: Long, state: DataFrame,
+      threshold: Long, phases: List[PhaseWindow]): Unit = {
     val spark = state.sparkSession
     val statePath = s"$dir/iter=$iteration/state"
     state.write.mode("overwrite").parquet(statePath)
@@ -221,10 +305,16 @@ object Superstep {
     val perPart = spark.read.parquet(statePath)
       .groupBy(spark_partition_id().as("p")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val phaseJson = phases.map(w =>
+      s"""{"phase":"${w.phase}","wall_ms":${w.wallMs},""" +
+      s""""task_time_ms":${w.taskTimeMs},"shuffle_read_bytes":${w.shuffleReadBytes},""" +
+      s""""shuffle_write_bytes":${w.shuffleWriteBytes}}""").mkString("[", ",", "]")
     val manifest =
       s"""{"algo":"${algo}","iteration":$iteration,"changed":$changed,""" +
-      s""""rows":$rows,"converged":${changed <= 0L},""" +
-      s""""perPartitionRows":[${perPart.map(_._2).mkString(",")}]}"""
+      s""""rows":$rows,"converged":${changed <= threshold},""" +
+      s""""convergence_threshold":$threshold,""" +
+      s""""perPartitionRows":[${perPart.map(_._2).mkString(",")}],""" +
+      s""""phases":$phaseJson}"""
     val conf = spark.sparkContext.hadoopConfiguration
     val mf = new Path(s"$dir/iter=$iteration/manifest.json")
     val fs = mf.getFileSystem(conf)

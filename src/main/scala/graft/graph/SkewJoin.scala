@@ -33,17 +33,27 @@ object SkewJoin {
       keyCol: String,
       nHot: Long)
 
+  /** Salt factor used when the caller asks for automatic skew handling. */
+  val AutoK: Int = 16
+
   /** Build the salt plan for `big` keyed by `keyCol`; `spreadCol` feeds the
     * salt hash (any column uncorrelated with the key — e.g. the opposite
-    * endpoint). Keys with more than `threshold` rows are hot.
+    * endpoint). Keys with more than `threshold` rows are hot. Returns None
+    * when no key is hot — callers then keep the plain single-key
+    * partitioning and pay zero per-iteration salting overhead (the hot-key
+    * detection itself is one map-side-combinable count aggregation).
     */
   def plan(big: DataFrame, keyCol: String, spreadCol: String,
-           k: Int, threshold: Long): SaltPlan = {
+           k: Int, threshold: Long): Option[SaltPlan] = {
     val hot = big.groupBy(col(keyCol)).agg(count(lit(1)).as("_freq"))
       .filter(col("_freq") > threshold)
       .select(col(keyCol).as("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nHot = hot.count()
+    if (nHot == 0) {
+      hot.unpersist(blocking = false)
+      return None
+    }
     val salted = big
       .join(broadcast(hot.withColumn("_hot", lit(true))),
         big(keyCol) === hot("key"), "left_outer")
@@ -55,7 +65,7 @@ object SkewJoin {
       .repartition(col(keyCol), col("_salt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     salted.count()
-    SaltPlan(salted, hot, k, keyCol, nHot)
+    Some(SaltPlan(salted, hot, k, keyCol, nHot))
   }
 
   /** Join the salted big side with per-iteration `state` on

@@ -90,11 +90,14 @@ object model {
       tolerance: Double = 1e-6,
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
-      localCheckpointEvery: Int = 1,
+      localCheckpointEvery: Int = 8,
       // hub-skew salting for the superstep gather join (graph/SkewJoin):
       // keys with more than hubDegreeThreshold edge rows are split into
-      // hubSaltK salted partitions. 0/1 disables. Uniform benchmark graphs
-      // don't need it; power-law web graphs set e.g. (32, 2_000_000).
-      hubSaltK: Int = 0,
+      // salted partitions. -1 (default) = AUTO: one cheap degree scan at
+      // plan time engages salting (k = SkewJoin.AutoK) only when hot keys
+      // exist, so a naive caller gets skew safety on power-law web graphs
+      // and zero overhead on uniform ones. 0/1 disables; k > 1 forces that
+      // salt factor.
+      hubSaltK: Int = -1,
       hubDegreeThreshold: Long = 2000000L)
 }

@@ -66,27 +66,33 @@ object Dedup {
       rows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = bands * rows
-    val withSig = docs.select(
-      col("doc_id"),
-      shinglesCol(col("text"), w).as("shingles"))
-      .withColumn("sig", minhashCol(col("shingles"), k))
+    // shingle sets are NEVER shuffled through the banded explode: the band
+    // join carries only (band, bucket, doc_id) — at corpus scale the old
+    // shape (shingles riding the 16× explode + a distinct over array pairs)
+    // put bands× the corpus bytes through the shuffle; this one puts 16
+    // longs per doc
+    val sh = docs.select(col("doc_id"), shinglesCol(col("text"), w).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val banded = withSig.select(
-      col("doc_id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), lit(b * rows + 1), lit(rows)), _.cast("string"))), b))))
+    val banded = sh
+      .withColumn("sig", minhashCol(col("shingles"), k))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("sig"), lit(b * rows + 1), lit(rows)), _.cast("string"))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
-    withJaccard(cand).filter(col("jaccard") >= threshold)
+    // exact-Jaccard verification: shingles re-attached once per side, for
+    // candidate pairs only
+    val withSh = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+    withJaccard(withSh).filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

@@ -54,14 +54,16 @@ object ProfileLp {
     println(s"LP total ${f"$lpSec%.2f"}s iters=${lp.iterations}")
     lp.stats.foreach(s => println(
       s"  iter=${s.iteration} changed=${s.changed} rows=${s.rows} " +
-      s"computeMs=${s.computeMs} checkpointMs=${s.checkpointMs}"))
+      s"computeMs=${s.computeMs} checkpointMs=${s.checkpointMs} " +
+      s"phases=${s.phases.map(p => s"${p.phase}:${p.wallMs}ms/task${p.taskTimeMs}ms/r${p.shuffleReadBytes}/w${p.shuffleWriteBytes}").mkString(",")}"))
     val t1 = System.nanoTime()
     val pr = PageRank.run(edges)
     val prSec = (System.nanoTime() - t1) / 1e9
     println(s"PR total ${f"$prSec%.2f"}s iters=${pr.iterations}")
     pr.stats.take(8).foreach(s => println(
       s"  iter=${s.iteration} changed=${s.changed} rows=${s.rows} " +
-      s"computeMs=${s.computeMs}"))
+      s"computeMs=${s.computeMs} " +
+      s"phases=${s.phases.map(p => s"${p.phase}:${p.wallMs}ms/task${p.taskTimeMs}ms/r${p.shuffleReadBytes}/w${p.shuffleWriteBytes}").mkString(",")}"))
     spark.stop()
   }
 }

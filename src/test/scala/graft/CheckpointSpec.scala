@@ -65,6 +65,43 @@ class CheckpointSpec extends SparkSpec {
       first.labels.collect().map(v => v.id -> v.label).toMap
   }
 
+  test("resume refuses a checkpoint written by a different algorithm") {
+    val dir = java.nio.file.Files.createTempDirectory("lp-chk3").toString
+    val edges = spark.createDataset(Seq(Edge(0, 1), Edge(1, 0)))
+    val seeds = spark.createDataset(Seq(Seed(0, 100), Seed(1, 200)))
+    LabelPropagation.run(edges, seeds, RunConfig(checkpointDir = Some(dir)))
+    val ex = intercept[IllegalStateException] {
+      PageRank.run(edges, cfg = RunConfig(checkpointDir = Some(dir)))
+    }
+    ex.getMessage should include("algo 'lp'")
+  }
+
+  test("nonzero convergence threshold: manifest records converged, resume is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("lp-chk4").toString
+    val edges = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(60, 3, seed = 3L).map { case (s, d) => Edge(s, d) })
+    val seeds = spark.createDataset(Seq(Seed(0L, 100L), Seed(30L, 200L)))
+    // threshold high enough that the run converges with changed > 0
+    val cfg = RunConfig(checkpointDir = Some(dir), convergenceThreshold = 1000L)
+    val first = LabelPropagation.run(edges, seeds, cfg)
+    first.converged shouldBe true
+    first.stats.last.changed should be > 0L
+    val Some((_, json)) = Superstep.latestManifest(spark, dir)
+    json should include("\"converged\":true") // changed <= threshold, not <= 0
+    val second = LabelPropagation.run(edges, seeds, cfg)
+    second.iterations shouldBe 0 // did NOT re-enter the loop and drift
+    second.labels.collect().map(v => v.id -> v.label).toMap shouldBe
+      first.labels.collect().map(v => v.id -> v.label).toMap
+  }
+
+  test("zero localCheckpointEvery is rejected up front") {
+    val edges = spark.createDataset(Seq(Edge(0, 1)))
+    val seeds = spark.createDataset(Seq(Seed(0, 1)))
+    intercept[IllegalArgumentException] {
+      LabelPropagation.run(edges, seeds, RunConfig(localCheckpointEvery = 0))
+    }
+  }
+
   test("PageRank resumes mid-convergence with its frontier intact") {
     val dir = java.nio.file.Files.createTempDirectory("pr-chk").toString
     val edges = spark.createDataset(

@@ -118,6 +118,52 @@ class LabelPropagationSpec extends SparkSpec {
     }
   }
 
+  test("differential: community-structured graph (the LP-native topology)") {
+    // exact per-vertex equality with the serial oracle, seeded and
+    // unsupervised, with inter-community links present
+    val n = 120
+    val edges = SyntheticGraph.communityEdgesLocal(n, 4, 0.3, 0.02)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // undirected voting
+    val seeds = Map(0L -> 100L, 35L -> 200L, 65L -> 300L, 95L -> 400L)
+    val (d, o) = runBoth(n, edges, seeds)
+    d shouldBe o
+    val (du, ou) = runBoth(n, edges, Map.empty)
+    du shouldBe ou
+  }
+
+  test("isolated communities: each dominated by its own seed's label") {
+    // interProb low enough that the expected inter-degree rounds to zero →
+    // four disconnected dense communities; each seed must own its community
+    val n = 120
+    val edges = SyntheticGraph.communityEdgesLocal(n, 4, 0.4, 0.0)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    edges.exists { case (a, b) => a / 30 != b / 30 } shouldBe false
+    val seeds = Map(0L -> 100L, 35L -> 200L, 65L -> 300L, 95L -> 400L)
+    val (d, o) = runBoth(n, edges, seeds)
+    d shouldBe o
+    val dominant = (0 until 4).map { c =>
+      val members = (c * 30 until (c + 1) * 30).map(_.toLong)
+      val labels = members.flatMap(d.get)
+      labels.groupBy(identity).maxBy(_._2.size)._1
+    }
+    dominant shouldBe Seq(100L, 200L, 300L, 400L)
+  }
+
+  test("unsupervised with declared numNodes covers isolated vertices") {
+    // edges touch only 0..2; numNodes=6 declares 3,4,5 as isolated —
+    // they keep label=id (lpst init_labels over [0, num_nodes))
+    val ds = spark.createDataset(triangle.map { case (s, d) => Edge(s, d) })
+    val res = LabelPropagation.run(ds, spark.emptyDataset[Seed],
+      RunConfig(), numNodes = Some(6L))
+    val got = res.labels.collect().map(v => v.id -> v.label).toMap
+    val oracle = SerialOracles.labelPropagation(6, triangle, Map.empty)
+      .zipWithIndex.collect { case (Some(l), i) => i.toLong -> l }.toMap
+    got shouldBe oracle // NO masking of isolated ids here
+    got(3L) shouldBe 3L
+    got(4L) shouldBe 4L
+    got(5L) shouldBe 5L
+  }
+
   test("label histogram reports 20 smallest labels with counts") {
     val ds = spark.createDataset(triangle.map { case (s, d) => Edge(s, d) })
     val res = LabelPropagation.run(ds, spark.emptyDataset[Seed])

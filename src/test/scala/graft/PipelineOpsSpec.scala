@@ -41,6 +41,51 @@ class PipelineOpsSpec extends SparkSpec {
     pairs.flatMap(p => Set(p._1, p._2)) should not contain 4L
   }
 
+  test("minhash id-only band join: complete and exact vs local recomputation") {
+    // locks the reshaped plan (band-join on doc ids, shingles re-attached
+    // once) to the LSH contract: every pair sharing ≥1 band bucket with
+    // true shingle-Jaccard ≥ t is returned, with the exact jaccard value
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (0 until 40).map { i =>
+      val base = (0 until 12).map(j => words((i / 4 + j) % words.length))
+      // every 4 docs share a template; odd docs mutate one word
+      val toks = if (i % 2 == 1) base.updated(5, "mutated" + i) else base
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val (bands, rows) = (16, 4)
+    val sh = corpus.select($"doc_id", Dedup.shinglesCol($"text", 3).as("sh"))
+      .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+    val shingleSets: Map[Long, Set[String]] = sh.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val u = sa.union(sb).size
+      if (u == 0) 0.0
+      else BigDecimal(sa.intersect(sb).size.toDouble / u)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // band buckets recomputed with the same public column expressions
+    val banded = sh.withColumn("sig", Dedup.minhashCol($"sh", bands * rows))
+      .select($"doc_id", posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice($"sig", b * rows + 1, lit(rows)), _.cast("string"))), b))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val collide = banded.toSeq.groupBy(x => (x._2, x._3)).values
+      .flatMap { g =>
+        val ids = g.map(_._1).distinct.sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+    val expected = collide.filter { case (a, b) => jac(a, b) >= 0.5 }
+
+    val got = Dedup.minhashNearDups(corpus, w = 3, bands = bands, rows = rows,
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.keySet shouldBe expected
+    got.foreach { case ((a, b), j) => j shouldBe jac(a, b) }
+  }
+
   test("simhash: identical texts collide, near-dups within small hamming") {
     val sigs = Dedup.simhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

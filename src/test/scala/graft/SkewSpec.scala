@@ -44,6 +44,32 @@ class SkewSpec extends SparkSpec {
     salted.foreach { case (k, v) => v shouldBe plain(k) +- 1e-9 }
   }
 
+  test("auto mode engages on a hub graph and stays identical to unsalted") {
+    import graft.graph.SkewJoin
+    import org.apache.spark.sql.functions._
+    val packed = ds(hubEdges).groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    // detection: the hub's 300-row dst key is hot at threshold 20...
+    val p = SkewJoin.plan(packed, "dst", "src", SkewJoin.AutoK, 20)
+    p.isDefined shouldBe true
+    p.get.nHot shouldBe 1L
+    // ...and a uniform graph yields no plan at all (zero loop overhead)
+    val uniform = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(100, 3, seed = 17L)
+        .map { case (s, d) => Edge(s, d) })
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    SkewJoin.plan(uniform, "dst", "src", SkewJoin.AutoK, 1000) shouldBe None
+    // end-to-end: auto (default cfg + low threshold) == explicitly disabled
+    val seeds = spark.createDataset(Seq(Seed(0L, 100L), Seed(7L, 300L)))
+    val auto = LabelPropagation.run(ds(hubEdges), seeds,
+      RunConfig(hubDegreeThreshold = 20)) // hubSaltK stays -1 = auto
+      .labels.collect().map(v => v.id -> v.label).toMap
+    val off = LabelPropagation.run(ds(hubEdges), seeds,
+      RunConfig(hubSaltK = 1))
+      .labels.collect().map(v => v.id -> v.label).toMap
+    auto shouldBe off
+  }
+
   test("salting ignores graphs with no hot keys (same results, plan built)") {
     val edges = SyntheticGraph.randomEdgesLocal(100, 3, seed = 3L)
     val seeds = spark.createDataset(

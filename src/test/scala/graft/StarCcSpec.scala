@@ -1,0 +1,60 @@
+package graft
+
+import graft.algo.ConnectedComponents
+import graft.gen.SyntheticGraph
+import graft.model._
+import graft.oracle.SerialOracles
+
+/** Alternating large-star/small-star CC: output equivalence with the
+  * min-propagation engine + serial oracle, and the round bound that
+  * motivates it — convergence independent of graph diameter (a path graph
+  * needs diameter-many rounds under plain min-propagation but O(log² n)
+  * under star contraction).
+  */
+class StarCcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val ds = spark.createDataset(edges.map { case (s, d) => Edge(s, d) })
+    val res = ConnectedComponents.runStar(ds)
+    res.components.collect().map(c => c.id -> c.component).toMap
+  }
+
+  test("star CC == min-propagation CC == serial oracle on random graphs") {
+    Seq((40, 1), (60, 2), (100, 3)).foreach { case (n, density) =>
+      val edges = SyntheticGraph.randomEdgesLocal(n, density, seed = 11L + n)
+      val ds = spark.createDataset(edges.map { case (s, d) => Edge(s, d) })
+      val star = starComponents(edges)
+      val minProp = ConnectedComponents.run(ds)
+        .components.collect().map(c => c.id -> c.component).toMap
+      val vertices = edges.flatMap { case (s, d) => Seq(s, d) }.distinct
+      val oracle = SerialOracles.connectedComponents(vertices, edges)
+      withClue(s"n=$n density=$density: ") {
+        star shouldBe minProp
+        star shouldBe oracle
+      }
+    }
+  }
+
+  test("star CC on two components and singletons-in-edge-set") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (5, 6), (7, 7))
+    val got = starComponents(edges)
+    got(0L) shouldBe 0L
+    got(1L) shouldBe 0L
+    got(2L) shouldBe 0L
+    got(5L) shouldBe 5L
+    got(6L) shouldBe 5L
+    got(7L) shouldBe 7L // self-loop only → own component
+  }
+
+  test("diameter stress: path graph converges in O(log n) rounds, not O(n)") {
+    val n = 20000L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val ds = spark.createDataset(path.map { case (s, d) => Edge(s, d) })
+    val res = ConnectedComponents.runStar(ds)
+    res.componentCount shouldBe 1L
+    res.components.filter($"component" =!= 0L).count() shouldBe 0L
+    // diameter is n-1 = 19999; star contraction must land well under 2·log2(n)+5
+    res.iterations should be <= 24
+  }
+}
