@@ -128,7 +128,8 @@ object Superstep {
       checkpointEvery: Int = 5,
       localCheckpointEvery: Int = 8,
       startIter: Int = 0,
-      algo: String = "superstep"): LoopResult = {
+      algo: String = "superstep",
+      ratioThreshold: Option[Double] = None): LoopResult = {
     require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     require(localCheckpointEvery > 0,
       s"localCheckpointEvery must be positive, got $localCheckpointEvery")
@@ -213,7 +214,10 @@ object Superstep {
       backing = newBacking
       iter = doneIter
       stats ::= IterStats(doneIter, changed, rows, computeMs, checkpointMs, phases)
-      converged = changed <= threshold
+      // absolute count (`ow-lp/src/lib.rs:424-426`), plus the optional
+      // lpst class-API change-ratio rule (`lpst/src/lib.rs:484-496`)
+      converged = changed <= threshold ||
+        ratioThreshold.exists(r => rows > 0 && changed.toDouble / rows <= r)
     } finally session.sparkContext.removeSparkListener(listener)
     LoopResult(state.drop("_chg"), iter - startIter, converged, stats.reverse)
   }
@@ -232,7 +236,8 @@ object Superstep {
     cfg.checkpointDir match {
       case None =>
         loop(init, step, cfg.maxIter, cfg.convergenceThreshold,
-          None, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = algo)
+          None, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = algo,
+          ratioThreshold = cfg.convergenceRatio)
       case Some(dir) =>
         val (state, doneIter, converged) = {
           val spark = SparkSession.active
@@ -241,7 +246,7 @@ object Superstep {
         if (converged) LoopResult(state.drop("_chg"), 0, converged = true, Nil)
         else loop(state, step, cfg.maxIter, cfg.convergenceThreshold,
           Some(dir), cfg.checkpointEvery, cfg.localCheckpointEvery,
-          startIter = doneIter, algo = algo)
+          startIter = doneIter, algo = algo, ratioThreshold = cfg.convergenceRatio)
     }
   }
 

@@ -86,6 +86,10 @@ object model {
   final case class RunConfig(
       maxIter: Int = DefaultMaxIter,
       convergenceThreshold: Long = 0L,
+      // lpst class-API variant (`lpst/src/lib.rs:484-496`): additionally
+      // stop when changed / |state| ≤ ratio. None = absolute count only
+      // (the reference benchmarks' rule).
+      convergenceRatio: Option[Double] = None,
       damping: Double = 0.85,
       tolerance: Double = 1e-6,
       checkpointDir: Option[String] = None,

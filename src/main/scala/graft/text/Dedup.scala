@@ -46,19 +46,59 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** k-permutation MinHash signature of a shingle array (xxhash64 with the
-    * permutation index as seed column — deterministic, codegen'd).
-    */
-  def minhashCol(shingles: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => coalesce(array_min(transform(shingles, s => xxhash64(s, j))),
-        lit(Long.MaxValue)))
-
   /** Candidate near-duplicate pairs via banded LSH over minhash signatures:
     * b bands of r rows (k = b·r); docs sharing any band bucket become a
     * candidate pair, then exact shingle Jaccard ≥ `threshold` confirms.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
+  /** Per-document minhash profile, computed fully relationally: tokens
+    * exploded to rows, w-shingles formed with window leads, each shingle
+    * hashed with the native multi-argument xxhash64, and ONE codegen'd
+    * aggregation producing the k permutation minima (`min(xxhash64(sh, j))`
+    * per permutation j) plus the distinct shingle-hash set for
+    * exact-Jaccard verification.
+    *
+    * Why not `transform`/`array_min` over a shingle array: Spark evaluates
+    * higher-order functions interpreted (no codegen), and the k×|shingles|
+    * lambda evaluations per document measured ~100× slower than this
+    * exploded shape at 5K docs. Column pruning drops the unused aggregate
+    * expressions per consumer (the band explode reads only the minima, the
+    * verification join reads only `hset`).
+    *
+    * Output: (doc_id, hset: array<long>, s0..s{k-1}: long). Documents with
+    * fewer than w tokens contribute one whole-text shingle; empty documents
+    * are absent.
+    */
+  def minhashProfiles(docs: DataFrame, w: Int = 3, k: Int = 64): DataFrame = {
+    require(w >= 2, "shingle width must be >= 2")
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tokRows = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until w).map(i => lead(col("tok"), i).over(wspec).as(s"_t$i"))
+    val shingled = tokRows.select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter(col(s"_t${w - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("tok") +: (1 until w).map(i => col(s"_t$i")): _*).as("sh"))
+    // reference shingle rule: 0 < tokens < w → one whole-text shingle
+    val shorts = toks.filter(size(col("toks")) < w)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", col("toks"))).as("sh"))
+    val aggs = collect_set(col("sh")).as("hset") +:
+      (0 until k).map(j => min(xxhash64(col("sh"), lit(j))).as(s"s$j"))
+    shingled.union(shorts).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets from a minhash profile: one native hash per band
+    * over its r signature columns → (doc_id, band, bucket).
+    */
+  def bandBuckets(profiles: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val buckets = (0 until bands).map(b =>
+      xxhash64((b * rows until (b + 1) * rows).map(j => col(s"s$j")) :+ lit(b): _*))
+    profiles.select(col("doc_id"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+  }
+
   def minhashNearDups(
       docs: DataFrame,
       w: Int = 3,
@@ -66,33 +106,28 @@ object Dedup {
       rows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = bands * rows
+    val profiles = minhashProfiles(docs, w, k)
     // shingle sets are NEVER shuffled through the banded explode: the band
-    // join carries only (band, bucket, doc_id) — at corpus scale the old
-    // shape (shingles riding the 16× explode + a distinct over array pairs)
-    // put bands× the corpus bytes through the shuffle; this one puts 16
-    // longs per doc
-    val sh = docs.select(col("doc_id"), shinglesCol(col("text"), w).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val banded = sh
-      .withColumn("sig", minhashCol(col("shingles"), k))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), lit(b * rows + 1), lit(rows)), _.cast("string"))), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    // join carries only (band, bucket, doc_id) — 16 longs per doc, not
+    // bands× the corpus bytes
+    val banded = bandBuckets(profiles, bands, rows)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // exact-Jaccard verification: shingles re-attached once per side, for
-    // candidate pairs only
-    val withSh = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-    withJaccard(withSh).filter(col("jaccard") >= threshold)
+    // exact-Jaccard verification on the compact shingle-HASH sets,
+    // re-attached once per side for candidate pairs only
+    val sets = profiles.select(col("doc_id"), col("hset"))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("hs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hs_b")), Seq("doc_b"))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val union = size(array_union(col("hs_a"), col("hs_b"))).cast("double")
+    withSets
+      .withColumn("jaccard", round(when(union > 0, inter / union).otherwise(0.0), 6))
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

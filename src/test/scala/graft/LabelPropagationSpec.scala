@@ -164,6 +164,23 @@ class LabelPropagationSpec extends SparkSpec {
     got(5L) shouldBe 5L
   }
 
+  test("convergence-ratio stop rule (lpst class API variant)") {
+    val edges = SyntheticGraph.randomEdgesLocal(50, 3, seed = 13L)
+    val ds = spark.createDataset(edges.map { case (s, d) => Edge(s, d) })
+    val sd = spark.createDataset(Seq(Seed(0L, 100L), Seed(25L, 300L)))
+    // ratio 1.0: any change fraction satisfies the rule → stops after 1 step
+    val loose = LabelPropagation.run(ds, sd, RunConfig(convergenceRatio = Some(1.0)))
+    loose.iterations shouldBe 1
+    loose.converged shouldBe true
+    // ratio None: identical to the absolute-count default
+    val strict = LabelPropagation.run(ds, sd)
+    val strictRatio = LabelPropagation.run(ds, sd,
+      RunConfig(convergenceRatio = Some(0.0)))
+    strictRatio.iterations shouldBe strict.iterations
+    strictRatio.labels.collect().map(v => v.id -> v.label).toMap shouldBe
+      strict.labels.collect().map(v => v.id -> v.label).toMap
+  }
+
   test("label histogram reports 20 smallest labels with counts") {
     val ds = spark.createDataset(triangle.map { case (s, d) => Edge(s, d) })
     val res = LabelPropagation.run(ds, spark.emptyDataset[Seed])

@@ -55,22 +55,18 @@ class PipelineOpsSpec extends SparkSpec {
     }.toDF("doc_id", "text")
 
     val (bands, rows) = (16, 4)
-    val sh = corpus.select($"doc_id", Dedup.shinglesCol($"text", 3).as("sh"))
-      .filter(org.apache.spark.sql.functions.size($"sh") > 0)
-    val shingleSets: Map[Long, Set[String]] = sh.collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val profiles = Dedup.minhashProfiles(corpus, 3, bands * rows)
+    val hashSets: Map[Long, Set[Long]] = profiles.select($"doc_id", $"hset")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     def jac(a: Long, b: Long): Double = {
-      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val (sa, sb) = (hashSets(a), hashSets(b))
       val u = sa.union(sb).size
       if (u == 0) 0.0
       else BigDecimal(sa.intersect(sb).size.toDouble / u)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    // band buckets recomputed with the same public column expressions
-    val banded = sh.withColumn("sig", Dedup.minhashCol($"sh", bands * rows))
-      .select($"doc_id", posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice($"sig", b * rows + 1, lit(rows)), _.cast("string"))), b))))
+    // band buckets recomputed with the same public building block
+    val banded = Dedup.bandBuckets(profiles, bands, rows)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val collide = banded.toSeq.groupBy(x => (x._2, x._3)).values
       .flatMap { g =>
