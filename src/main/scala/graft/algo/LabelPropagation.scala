@@ -86,23 +86,32 @@ object LabelPropagation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val unsupervised = dedupedSeeds.isEmpty
 
+    // DENSE state: one row per vertex from the start, null label = UNKNOWN.
+    // This keeps the apply join LEFT-outer (state side streams, its `id`
+    // and partitioning survive to the next superstep) — a full-outer join
+    // on a grow-as-labeled sparse state reports UnknownPartitioning (its
+    // id is coalesce(l,r)), which forced TWO state re-exchanges per
+    // superstep (observed as 5-stage superstep jobs vs PR's 3).
+    val vertices = numNodes match {
+      // declared universe covers isolated ids too (lpst init_labels)
+      case Some(n) => spark.range(n).toDF("id")
+      case None => packed.select($"src".as("id"))
+        .union(packed.select($"dst".as("id")))
+        .union(dedupedSeeds.select($"node".as("id"))) // seeded isolated ids
+        .distinct()
+    }
     val init: DataFrame =
       if (unsupervised) {
-        // label(i) = i for every vertex (ow-lp/src/lib.rs:538-546); with a
-        // declared universe, isolated ids are covered too (lpst init_labels)
-        val vertices = numNodes match {
-          case Some(n) => spark.range(n).toDF("id")
-          case None => packed.select($"src".as("id"))
-            .union(packed.select($"dst".as("id"))).distinct()
-        }
+        // label(i) = i for every vertex (ow-lp/src/lib.rs:538-546)
         vertices.select($"id", $"id".as("label"), lit(false).as("seeded"))
       } else {
-        // only seeded vertices carry a label; absent row = UNKNOWN
-        dedupedSeeds.select($"node".as("id"), $"label", lit(true).as("seeded"))
+        vertices.join(dedupedSeeds, $"id" === $"node", "left_outer")
+          .select($"id", $"label", $"label".isNotNull.as("seeded"))
       }
 
     def step(state: DataFrame, iter: Int): DataFrame = {
-      val labels = state.select($"id", $"label")
+      // P6 UNKNOWN filter: unlabeled vertices contribute nothing
+      val labels = state.filter($"label".isNotNull).select($"id", $"label")
       val gather = saltPlan match {
         case Some(p) =>
           graft.graph.SkewJoin.joinState(p, labels, "id")
@@ -118,12 +127,12 @@ object LabelPropagation {
         .groupBy($"src")
         .agg(graft.functions.MajorityVoteAgg.majorityVote($"label", $"w").as("vote"))
         .select($"src".as("id"), $"vote")
-      state.as("s").join(votes.as("v"), Seq("id"), "full_outer")
+      state.as("s").join(votes.as("v"), Seq("id"), "left_outer")
         .select(
           $"id",
           when($"s.seeded" === true, $"s.label")
             .otherwise(coalesce($"v.vote", $"s.label")).as("label"),
-          coalesce($"s.seeded", lit(false)).as("seeded"),
+          $"s.seeded".as("seeded"),
           // changed ⇔ new label differs from previous (UNKNOWN = null never
           // equals a real label; labels are ≥ 0 so -1 is a safe sentinel)
           (coalesce(when($"s.seeded" === true, $"s.label")

@@ -44,24 +44,37 @@ object Paths {
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val init: DataFrame =
-      spark.range(1).select(lit(source).as("id"), lit(0.0).as("dist"))
+    // DENSE state (one row per vertex, +∞ = unreached — the reference's
+    // sentinel, `sssp_graphx_shell.scala:27`): keeps the apply join
+    // left-outer so the state's partitioning survives each superstep (a
+    // full-outer join on a grow-as-reached state would force two state
+    // re-exchanges per superstep — see LabelPropagation).
+    val vertices = packed.select($"src".as("id"))
+      .union(packed.select($"dst".as("id")))
+      .union(spark.range(1).select(lit(source).as("id"))) // isolated source
+      .distinct()
+    val init: DataFrame = vertices.select(
+      $"id",
+      when($"id" === source, 0.0).otherwise(Double.PositiveInfinity).as("dist"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier =
-        (if (iter == 0) state else state.filter($"_chg")).select($"id", $"dist")
+        (if (iter == 0) state.filter($"dist" < Double.PositiveInfinity)
+         else state.filter($"_chg")).select($"id", $"dist")
       val msgs = packed.join(frontier, packed("src") === frontier("id"))
         .groupBy(packed("dst").as("id"))
         .agg(min($"dist" + $"weight").as("m"))
-      state.select($"id", $"dist").join(msgs, Seq("id"), "full_outer")
+      state.select($"id", $"dist").join(msgs, Seq("id"), "left_outer")
         .select(
           $"id",
           least($"dist", $"m").as("dist"),
-          coalesce($"m" < $"dist", $"dist".isNull).as("_chg"))
+          coalesce($"m" < $"dist", lit(false)).as("_chg"))
     }
 
     val res = Superstep.loop(init, step, maxIter, 0L, algo = "sssp")
-    val dists = res.state.select($"id", $"dist").as[VertexDist]
+    // absent-row output contract: unreachable vertices are not emitted
+    val dists = res.state.filter($"dist" < Double.PositiveInfinity)
+      .select($"id", $"dist").as[VertexDist]
       .persist(StorageLevel.MEMORY_AND_DISK)
     val agg = dists.agg(count(lit(1)), max($"dist")).head()
     packed.unpersist(blocking = false)
