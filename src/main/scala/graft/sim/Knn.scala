@@ -18,15 +18,16 @@ import graft.gen.SyntheticGraph
   *    one projection + an equi-join on (table, bucket), so 10^12 vectors
   *    never see a cross join.
   *
-  * Dot products use `zip_with` + `aggregate` (higher-order functions,
-  * codegen'd) — no UDFs.
+  * Dot products use the native codegen'd [[graft.functions.DotProductExpr]]
+  * — Spark's `zip_with`/`aggregate` higher-order functions evaluate
+  * interpreted (one lambda frame per element), which dominates similarity
+  * scans at embedding dimensionality.
   */
 object Knn {
 
-  /** Σ a·b as a Column over two array<float/double> columns. */
+  /** Σ a·b as a Column over two array<float/double> columns (native expr). */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot(a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
@@ -59,15 +60,12 @@ object Knn {
   def bucketCol(vec: Column, dim: Int, bits: Int, table: Int,
                 seed: Long = 42L): Column = {
     val planeBits = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(vec,
-          array((0 until dim).map { j =>
-            val h = SyntheticGraph.splitmix64(
-              seed + table.toLong * 1000003L + p.toLong * 7919L + j)
-            lit(if (h >= 0) 1.0 else -1.0)
-          }: _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = typedLit(Array.tabulate(dim) { j =>
+        val h = SyntheticGraph.splitmix64(
+          seed + table.toLong * 1000003L + p.toLong * 7919L + j)
+        if (h >= 0) 1.0 else -1.0
+      })
+      val proj = dotCol(vec, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     planeBits.reduce(_ + _)

@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lower-cased word tokens: unicode letter/digit runs. */
+  /** Lower-cased word tokens: unicode letter/digit runs.
+    * `regexp_extract_all` (native, codegen'd) rather than split +
+    * `filter` — higher-order functions evaluate interpreted.
+    */
   def tokensCol(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
 
   /** Whitespace token count (the cheap, language-agnostic count). */
   def wsTokenCountCol(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= ""))
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
   /** BPE-ish subword count estimate: word tokens are weighted by
     * ceil(len/4) — a deterministic proxy for byte-pair-encoded token counts
