@@ -33,8 +33,9 @@ import graft.model._
   *             cluster scale hub skew is handled by AQE skew join, and the
   *             two-level vote aggregation below is salt-compatible since
   *             label counts are associative)
-  *   vote    = groupBy(src, label).sum(w)           (partial map-side agg)
-  *             → groupBy(src).max(struct(cnt,-label)) → majority w/ min tie
+  *   vote    = repartition(src) → groupBy(src, label).sum(w)
+  *             → groupBy(src).max(struct(cnt,-label)) — both agg levels
+  *             chained codegen HashAggregates in one post-shuffle stage
   *   apply   = state ⟗ votes on id, seeded rows keep their label, changed
   *             flag folded into the same projection (no extra action).
   */
@@ -120,13 +121,23 @@ object LabelPropagation {
           packed.join(labels, packed("dst") === labels("id"))
             .select(packed("src"), labels("label"), packed("w"))
       }
-      // single-exchange majority: partial label→count maps combine map-side
-      // (vs the two-level groupBy(src,label)→groupBy(src) plan, which costs
-      // an extra shuffle per superstep)
+      // single-exchange majority, fully codegen: repartition the gather
+      // output by src once, then BOTH aggregation levels (label counts,
+      // then max(count, min-label tiebreak)) run in the same post-shuffle
+      // stage as chained codegen HashAggregates — hash(src) already
+      // clusters (src, label). The earlier TypedImperativeAggregate
+      // ([[graft.functions.MajorityVoteAgg]], kept as the §2.8 UDAF
+      // surface) plans as ObjectHashAggregate, which falls back to
+      // SORT-based aggregation beyond 128 groups per partition
+      // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+      // at 4M vertices that sorted all 40M gather rows every superstep,
+      // ~20× the task time of this plan.
       val votes = gather
+        .repartition($"src")
+        .groupBy($"src", $"label").agg(sum($"w").as("cnt"))
         .groupBy($"src")
-        .agg(graft.functions.MajorityVoteAgg.majorityVote($"label", $"w").as("vote"))
-        .select($"src".as("id"), $"vote")
+        .agg(max(struct($"cnt", (-$"label").as("neg"))).as("m"))
+        .select($"src".as("id"), (-$"m.neg").as("vote"))
       state.as("s").join(votes.as("v"), Seq("id"), "left_outer")
         .select(
           $"id",
