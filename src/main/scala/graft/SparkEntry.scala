@@ -157,6 +157,19 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"))),
     "q_text_analyze" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))
       .orderBy(col("doc_id"))),
+    "q_embedding_neardups" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Dedup.embeddingNearDups(emb, threshold = 0.40)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_embedding_neardups_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dim = emb.select(size(col("vec"))).head().getInt(0)
+      Dedup.embeddingNearDupsLsh(emb, dim, threshold = 0.40)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_knn_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -279,6 +292,15 @@ object SparkEntry {
       """SELECT doc_id FROM (
            SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
            FROM documents) WHERE rk = 1 ORDER BY doc_id""",
+    // exact all-pairs cosine near-dup (float-vs-double divergence is
+    // ~1e-7; the 0.40 threshold and the 2dp rounding grid sit ≥1e-5 from
+    // every pair's cosine in the fixed testdata — verified, stable)
+    "q_embedding_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 2) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+         ORDER BY id_a, id_b""",
     "q_doc_stats" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens

@@ -139,6 +139,52 @@ object Dedup {
       round(when(union > 0, inter / union).otherwise(0.0), 6))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (id_a < id_b) pair
+    * with cosine(vec_a, vec_b) ≥ threshold, cosine reported rounded to 2
+    * decimals. All-pairs — the exact/oracle path for corpora where n² is
+    * feasible; at corpus scale use [[embeddingNearDupsLsh]]. Input shape:
+    * (id, vec: array<float>). Dot products via the native codegen'd
+    * [[graft.functions.DotProductExpr]].
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    import graft.sim.Knn
+    val a = emb.select(col("id").as("id_a"), col("vec").as("va"))
+      .withColumn("na", Knn.normCol(col("va")))
+    val b = emb.select(col("id").as("id_b"), col("vec").as("vb"))
+      .withColumn("nb", Knn.normCol(col("vb")))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("_c", Knn.cosineCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("_c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_c"), 2).as("cos"))
+  }
+
+  /** Scalable embedding-cosine near-dup: sign-bucket LSH candidate
+    * generation (every vector hashed into `tables` independent
+    * hyperplane-sign buckets — an equi-join on (table, bucket), never a
+    * cross join) followed by the exact cosine filter. Approximate: a pair
+    * colliding in no table is missed; recall grows with `tables`
+    * (tested vs the exact variant in PipelineOpsSpec).
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, dim: Int, threshold: Double = 0.4,
+                           bits: Int = 6, tables: Int = 12): DataFrame = {
+    import graft.sim.Knn
+    val bucketed = emb.select(col("id"), col("vec"),
+      posexplode(array((0 until tables).map(t =>
+        Knn.bucketCol(col("vec"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("va"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct()
+      .withColumn("_c", Knn.cosineCol(col("va"), col("vb"),
+        Knn.normCol(col("va")), Knn.normCol(col("vb"))))
+      .filter(col("_c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_c"), 2).as("cos"))
+  }
+
   /** Exact n-gram Jaccard similarity for an explicit pair list
     * `(doc_a, doc_b)` against the documents table.
     */

@@ -189,6 +189,36 @@ class PipelineOpsSpec extends SparkSpec {
     recall should be >= 0.6
   }
 
+  test("embedding-cosine near-dups: exact == local all-pairs; LSH recalls") {
+    val dim = 16
+    val base = syntheticVectors(100, dim)
+    // plant 15 strong near-dup pairs: id 1000+i = id i plus small noise
+    val planted = base.take(15).map { case (i, v) =>
+      (1000L + i, v.zipWithIndex.map { case (x, j) =>
+        x + ((graft.functions.SplitMix64Expr.mix(i * 97 + j) % 100) / 2000.0f)
+      })
+    }
+    val data = base ++ planted
+    val emb = data.toDF("id", "vec")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+           math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val t = 0.9
+    val expected = (for {
+      (ia, va) <- data; (ib, vb) <- data if ia < ib && cos(va, vb) >= t
+    } yield (ia, ib)).toSet
+    expected.size should be >= 15 // the planted pairs at least
+    val exact = text.Dedup.embeddingNearDups(emb, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact shouldBe expected
+    val lsh = text.Dedup.embeddingNearDupsLsh(emb, dim, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.subsetOf(exact) shouldBe true // no false positives (exact re-filter)
+    (lsh.size.toDouble / expected.size) should be >= 0.8
+  }
+
   test("multimodal: feature extraction + frame sampling plumbing") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media).collect()
