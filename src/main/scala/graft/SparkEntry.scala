@@ -217,6 +217,36 @@ object SparkEntry {
       "SELECT l_orderkey AS okey, l_partkey AS pkey FROM lineitem WHERE l_quantity < 10",
     "p3_range_filter" ->
       s"SELECT src, dst, count(*) AS w FROM ($edgesSql) WHERE src < 1000 AND dst < 1000 GROUP BY src, dst",
+    // Independent SQL transcription of the deterministic generator: full
+    // splitmix64 over HUGEINT arithmetic mod 2^64 (64x64-bit wrapping
+    // multiply via 32-bit split — INT128 would overflow), signed
+    // reinterpretation, floorMod to [0, n-2], self-loop bump. Verifies the
+    // synthetic topology hash-exactly against a second implementation.
+    "s5_synth_edges" -> {
+      val two64 = "18446744073709551616"
+      def mulmod(col: String, c: BigInt): String = {
+        val bh = c >> 32
+        val bl = c & 0xffffffffL
+        s"(($col * $bl) % $two64 + ((($col * $bh) % 4294967296) * 4294967296)) % $two64"
+      }
+      val c1 = BigInt("BF58476D1CE4E5B9", 16)
+      val c2 = BigInt("94D049BB133111EB", 16)
+      s"""WITH s AS (
+            SELECT i // 4 AS src,
+                   (CAST(42 AS HUGEINT) * 4294967296 + (i // 4) * 4 + (i % 4)) % $two64 AS x
+            FROM generate_series(0, 3999) t(i)
+          ), m1 AS (SELECT src, (x + 11400714819323198485) % $two64 AS z0 FROM s),
+          m1x AS (SELECT src, xor(z0, z0 >> 30) AS y1 FROM m1),
+          m2 AS (SELECT src, ${mulmod("y1", c1)} AS z1 FROM m1x),
+          m2x AS (SELECT src, xor(z1, z1 >> 27) AS y2 FROM m2),
+          m3 AS (SELECT src, ${mulmod("y2", c2)} AS z2 FROM m2x),
+          h AS (SELECT src, xor(z2, z2 >> 31) AS hu FROM m3),
+          sgn AS (SELECT src, CASE WHEN hu >= 9223372036854775808 THEN hu - $two64 ELSE hu END AS hs FROM h),
+          raw AS (SELECT src, ((hs % 999) + 999) % 999 AS r FROM sgn),
+          e AS (SELECT src, CASE WHEN r >= src THEN r + 1 ELSE r END AS dst FROM raw)
+          SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, count(*) AS w
+          FROM e GROUP BY src, dst"""
+    },
     "a10_vertex_set" -> verticesSql,
     "a5_degree_hist" ->
       s"SELECT deg, count(*) AS n_nodes FROM (SELECT src, count(*) AS deg FROM ($edgesSql) GROUP BY src) GROUP BY deg",
