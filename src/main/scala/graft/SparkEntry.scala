@@ -155,8 +155,12 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "q_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), 3)
       .orderBy(col("doc_a"), col("doc_b"))),
+    // fingerprint (chained xxhash64) is the one column no SQL engine can
+    // recompute — dropped here so the rest of the enrichment is
+    // hash-verified against DuckDB; the fingerprint itself is covered by
+    // PipelineOpsSpec determinism/order-sensitivity tests
     "q_text_analyze" -> ((s, dir) => TextAnalysis.analyze(docs(s, dir))
-      .orderBy(col("doc_id"))),
+      .drop("fingerprint").orderBy(col("doc_id"))),
     "q_embedding_neardups" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -331,6 +335,68 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
          ORDER BY id_a, id_b""",
+    // full text-analysis enrichment (minus the rolling-hash fingerprint):
+    // language-id via stopword overlap (ties → lexicographically larger
+    // lang, matching array_max over (score, lang) structs), Gopher/C4-style
+    // quality, token counts. All ratios derive from integer counts via
+    // double division replicated in the exact same association, so the
+    // doubles are bit-identical across engines and round(·, 6) agrees.
+    "q_text_analyze" -> {
+      val langRows = TextAnalysis.stopwordLists.toSeq.sortBy(_._1).map {
+        case (l, ws) => s"('$l', [${ws.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(",\n          ")
+      val allStop = "[" + TextAnalysis.stopwordLists.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",") + "]"
+      s"""WITH langs(lang, sw) AS (VALUES
+          $langRows),
+        toks AS (
+          SELECT doc_id, text, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tk
+          FROM documents),
+        scored AS (
+          SELECT t.doc_id, l.lang, len(list_intersect(t.tk, l.sw)) AS score
+          FROM toks t CROSS JOIN langs l),
+        best AS (
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+          FROM scored),
+        lang1 AS (
+          SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+          FROM best WHERE rn = 1),
+        q AS (
+          SELECT t.doc_id,
+            CAST(length(t.text) AS DOUBLE) AS lend,
+            CAST(len(t.tk) AS DOUBLE) AS ntok,
+            len(t.tk) AS n_tokens,
+            CASE WHEN len(t.tk) > 0
+                 THEN CAST(coalesce(list_sum(list_transform(t.tk, x -> length(x))), 0) AS DOUBLE) / CAST(len(t.tk) AS DOUBLE)
+                 ELSE 0.0 END AS mwl,
+            (CAST(length(t.text) AS DOUBLE) - CAST(length(regexp_replace(t.text, '[[:punct:]]', '', 'g')) AS DOUBLE))
+              / greatest(CAST(length(t.text) AS DOUBLE), 1.0) AS punct,
+            (CAST(length(t.text) AS DOUBLE) - CAST(length(regexp_replace(t.text, '[0-9]', '', 'g')) AS DOUBLE))
+              / greatest(CAST(length(t.text) AS DOUBLE), 1.0) AS digits,
+            CAST(len(list_intersect(t.tk, $allStop)) AS DOUBLE) AS stophits,
+            len(regexp_extract_all(t.text, '\\S+')) AS n_ws_tokens,
+            CAST(coalesce(list_sum(list_transform(t.tk, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens
+          FROM toks t),
+        q2 AS (
+          SELECT doc_id, n_tokens, n_ws_tokens, n_bpe_tokens, mwl, punct,
+            CASE WHEN ntok > 0 THEN stophits / least(ntok, 40.0) ELSE 0.0 END AS stopratio,
+            CASE WHEN lend >= 50 AND lend <= 20000 THEN 1.0 WHEN lend > 0 THEN 0.5 ELSE 0.0 END AS lenscore,
+            CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END AS wordscore,
+            CASE WHEN punct <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - punct) END AS punctscore,
+            CASE WHEN digits <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - digits) END AS digitscore
+          FROM q)
+        SELECT q2.doc_id, l.pred_lang,
+          round(q2.lenscore * 0.25 + q2.wordscore * 0.2 + q2.punctscore * 0.2 +
+                q2.digitscore * 0.15 + least(1.0, q2.stopratio * 2.0) * 0.2, 6) AS quality,
+          CAST(q2.n_tokens AS BIGINT) AS n_tokens,
+          CAST(q2.n_ws_tokens AS BIGINT) AS n_ws_tokens,
+          q2.n_bpe_tokens,
+          round(q2.mwl, 6) AS mean_word_len,
+          round(q2.punct, 6) AS punct_ratio
+        FROM q2 JOIN lang1 l USING (doc_id)
+        ORDER BY doc_id"""
+    },
     "q_doc_stats" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens

@@ -33,7 +33,10 @@ object TextAnalysis {
     coalesce(aggregate(tokensCol(text), lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")), lit(0L))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Per-language stopword lists (public: the DuckDB oracle SQL is built
+    * from the same source of truth, so the lists cannot drift).
+    */
+  val stopwordLists: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
@@ -41,7 +44,7 @@ object TextAnalysis {
 
   /** Distinct-stopword hits for one language's list. */
   private def hits(tokens: Column, lang: String): Column =
-    size(array_intersect(tokens, array(stopwords(lang).map(lit): _*)))
+    size(array_intersect(tokens, array(stopwordLists(lang).map(lit): _*)))
 
   /** Heuristic language id over {en, es, fr, de}: the language whose
     * stopword list overlaps the token set most; ties broken alphabetically;
@@ -51,7 +54,7 @@ object TextAnalysis {
     */
   def langIdStruct(text: Column): Column = {
     val toks = tokensCol(text)
-    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
+    val scored = array(stopwordLists.keys.toSeq.sorted.map { l =>
       struct(hits(toks, l).as("score"), lit(l).as("lang"))
     }: _*)
     val best = array_max(scored)
@@ -79,7 +82,7 @@ object TextAnalysis {
     val digits = (len - length(regexp_replace(text, "[0-9]", ""))) /
       greatest(len, lit(1.0))
     val stopHits = size(array_intersect(toks,
-      array(stopwords.values.flatten.toSeq.distinct.map(lit): _*))).cast("double")
+      array(stopwordLists.values.flatten.toSeq.distinct.map(lit): _*))).cast("double")
     val stopRatio = when(nTok > 0, stopHits / least(nTok, lit(40.0))).otherwise(0.0)
     val lenScore = when(len >= 50 && len <= 20000, 1.0)
       .when(len > 0, 0.5).otherwise(0.0)
