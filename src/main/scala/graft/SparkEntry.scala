@@ -214,6 +214,37 @@ object SparkEntry {
         .orderBy(col("url")))
   )
 
+  /** DuckDB SQL reproducing `SyntheticGraph.randomEdges(n, density)` (and
+    * the identical topology embedded by `SyntheticPages`): splitmix64 in
+    * HUGEINT arithmetic mod 2^64, wrapping multiplies split into 32-bit
+    * halves, then the reference target rule, grouped to (src, dst, w).
+    */
+  private def synthEdgesOracleSql(n: Long, density: Int, seed: Long = 42L): String = {
+    val two64 = "18446744073709551616"
+    def mulmod(col: String, c: BigInt): String = {
+      val bh = c >> 32
+      val bl = c & 0xffffffffL
+      s"(($col * $bl) % $two64 + ((($col * $bh) % 4294967296) * 4294967296)) % $two64"
+    }
+    val c1 = BigInt("BF58476D1CE4E5B9", 16)
+    val c2 = BigInt("94D049BB133111EB", 16)
+    s"""WITH s AS (
+          SELECT i // $density AS src,
+                 (CAST($seed AS HUGEINT) * 4294967296 + (i // $density) * $density + (i % $density)) % $two64 AS x
+          FROM generate_series(0, ${n * density - 1}) t(i)
+        ), m1 AS (SELECT src, (x + 11400714819323198485) % $two64 AS z0 FROM s),
+        m1x AS (SELECT src, xor(z0, z0 >> 30) AS y1 FROM m1),
+        m2 AS (SELECT src, ${mulmod("y1", c1)} AS z1 FROM m1x),
+        m2x AS (SELECT src, xor(z1, z1 >> 27) AS y2 FROM m2),
+        m3 AS (SELECT src, ${mulmod("y2", c2)} AS z2 FROM m2x),
+        h AS (SELECT src, xor(z2, z2 >> 31) AS hu FROM m3),
+        sgn AS (SELECT src, CASE WHEN hu >= 9223372036854775808 THEN hu - $two64 ELSE hu END AS hs FROM h),
+        raw AS (SELECT src, ((hs % ${n - 1}) + ${n - 1}) % ${n - 1} AS r FROM sgn),
+        e AS (SELECT src, CASE WHEN r >= src THEN r + 1 ELSE r END AS dst FROM raw)
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, count(*) AS w
+        FROM e GROUP BY src, dst"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s2_edge_scan" ->
       s"SELECT src, dst, count(*) AS w FROM ($edgesSql) GROUP BY src, dst",
@@ -226,31 +257,17 @@ object SparkEntry {
     // multiply via 32-bit split — INT128 would overflow), signed
     // reinterpretation, floorMod to [0, n-2], self-loop bump. Verifies the
     // synthetic topology hash-exactly against a second implementation.
-    "s5_synth_edges" -> {
-      val two64 = "18446744073709551616"
-      def mulmod(col: String, c: BigInt): String = {
-        val bh = c >> 32
-        val bl = c & 0xffffffffL
-        s"(($col * $bl) % $two64 + ((($col * $bh) % 4294967296) * 4294967296)) % $two64"
-      }
-      val c1 = BigInt("BF58476D1CE4E5B9", 16)
-      val c2 = BigInt("94D049BB133111EB", 16)
-      s"""WITH s AS (
-            SELECT i // 4 AS src,
-                   (CAST(42 AS HUGEINT) * 4294967296 + (i // 4) * 4 + (i % 4)) % $two64 AS x
-            FROM generate_series(0, 3999) t(i)
-          ), m1 AS (SELECT src, (x + 11400714819323198485) % $two64 AS z0 FROM s),
-          m1x AS (SELECT src, xor(z0, z0 >> 30) AS y1 FROM m1),
-          m2 AS (SELECT src, ${mulmod("y1", c1)} AS z1 FROM m1x),
-          m2x AS (SELECT src, xor(z1, z1 >> 27) AS y2 FROM m2),
-          m3 AS (SELECT src, ${mulmod("y2", c2)} AS z2 FROM m2x),
-          h AS (SELECT src, xor(z2, z2 >> 31) AS hu FROM m3),
-          sgn AS (SELECT src, CASE WHEN hu >= 9223372036854775808 THEN hu - $two64 ELSE hu END AS hs FROM h),
-          raw AS (SELECT src, ((hs % 999) + 999) % 999 AS r FROM sgn),
-          e AS (SELECT src, CASE WHEN r >= src THEN r + 1 ELSE r END AS dst FROM raw)
-          SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, count(*) AS w
-          FROM e GROUP BY src, dst"""
-    },
+    "s5_synth_edges" -> synthEdgesOracleSql(n = 1000, density = 4),
+    // The flagship front-end (pages → href extraction → url→id dictionary
+    // → integer edges) must reproduce the generator topology EXACTLY —
+    // the pages' html embeds it, and zero-padded urls make dictionary
+    // ranks coincide with node ids. The same independent splitmix64 SQL
+    // is therefore the end-to-end oracle for the whole extract+encode
+    // pipeline: any regression in href parsing, url resolution or rank
+    // assignment breaks the hash. (Quote/entity/relative-href edge cases
+    // the synthetic pages don't exercise are golden-pinned in
+    // LinkExtractSpec.)
+    "q_extract_edges" -> synthEdgesOracleSql(n = 500, density = 4),
     "a10_vertex_set" -> verticesSql,
     "a5_degree_hist" ->
       s"SELECT deg, count(*) AS n_nodes FROM (SELECT src, count(*) AS deg FROM ($edgesSql) GROUP BY src) GROUP BY deg",
