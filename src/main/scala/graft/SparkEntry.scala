@@ -268,6 +268,15 @@ object SparkEntry {
     // the synthetic pages don't exercise are golden-pinned in
     // LinkExtractSpec.)
     "q_extract_edges" -> synthEdgesOracleSql(n = 500, density = 4),
+    // byte-identical text extraction (north rule): the extracted text of a
+    // synthesized page is a pure function of its index — title token, body
+    // sentence, anchor labels, whitespace-collapsed. An independent SQL
+    // reconstruction verifies every byte of all 500 rows.
+    "q_extract_text" ->
+      """SELECT printf('https://crawl.example/p%012d', i) AS url,
+           printf('p%d Page %d in %s. The quick crawl indexed node %d. l0 l1 l2 l3',
+                  i, i, CASE WHEN i % 2 = 0 THEN 'en' ELSE 'es' END, i) AS text
+         FROM generate_series(0, 499) t(i) ORDER BY url""",
     "a10_vertex_set" -> verticesSql,
     "a5_degree_hist" ->
       s"SELECT deg, count(*) AS n_nodes FROM (SELECT src, count(*) AS deg FROM ($edgesSql) GROUP BY src) GROUP BY deg",
@@ -343,6 +352,20 @@ object SparkEntry {
       """SELECT doc_id FROM (
            SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
            FROM documents) WHERE rk = 1 ORDER BY doc_id""",
+    // exact cosine top-k (rank-only output): ordering is stable across the
+    // engines because every adjacent-cosine gap in the top-6 is ≥ 1.9e-5
+    // on the fixed testdata — 100× the float-vs-double computation
+    // divergence and far above Spark's 1e-9 pre-rank rounding grid
+    "q_knn_brute" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.embedding, e.embedding) AS c
+                FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+                FROM sc)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
     // exact all-pairs cosine near-dup (float-vs-double divergence is
     // ~1e-7; the 0.40 threshold and the 2dp rounding grid sit ≥1e-5 from
     // every pair's cosine in the fixed testdata — verified, stable)
