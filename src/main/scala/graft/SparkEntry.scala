@@ -10,12 +10,18 @@ import graft.sim.Knn
 import graft.text.{Dedup, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, with an ANSI-SQL DuckDB oracle for every relationally
-  * expressible one (including connected components via recursive CTE and
-  * triangle counting via three-way self-join). Iterative-to-convergence and
-  * hash-salted operators (LP, PageRank, MinHash/SimHash, ANN) are
-  * rows-only per the contract and are instead verified by the golden
-  * fixtures + serial oracle + GraphX cross-checks in `sbt -batch test`.
+  * SURVEY.md §2, with an ANSI-SQL DuckDB oracle for every expressible one:
+  * ALL SIX iterative vertex programs included (CC + BFS via recursive
+  * CTEs; LP, PageRank and SSSP via fixed unrolls of materialized CTE
+  * rounds — past convergence every extra round is a no-op, so an unroll
+  * at the engine's own iteration cap is termination-independent), the
+  * synthetic generator and the pages→edges front-end via a splitmix64
+  * transcription in HUGEINT arithmetic, and the cosine/text operators via
+  * list_cosine_similarity / regexp reconstruction. Only xxhash-salted
+  * candidate generation (MinHash/SimHash/LSH buckets) and the stubbed
+  * media decode remain rows-only, verified by construction tests in
+  * `sbt -batch test` alongside the golden fixtures + serial oracle +
+  * GraphX cross-checks.
   *
   * The graph under test derives from `lineitem` by a pure modulo projection
   * (Tables.edgesSql) so the oracle sees the identical multigraph.
@@ -245,7 +251,116 @@ object SparkEntry {
         FROM e GROUP BY src, dst"""
   }
 
+  /** DuckDB SQL for GraphX-semantics dynamic PageRank, as `iters` unrolled
+    * materialized CTE steps (DuckDB 1.0's recursive CTEs cannot aggregate,
+    * but a fixed unroll can — and once the frontier empties every further
+    * step is a no-op, so a deep-enough unroll is termination-independent;
+    * without MATERIALIZED the double self-reference per step inlines
+    * exponentially). Exact arithmetic parity with the engine: contribution
+    * weight w·(1/deg), rank += 0.85·msg, delta-gated frontier, final
+    * normalization to n/Σrank, rounded to 6dp — measured ≥1e-9 from every
+    * rounding boundary on the fixed testdata vs ~1e-13 cross-engine FP
+    * divergence.
+    */
+  private def pageRankOracleSql(iters: Int = 120, tol: Double = 1e-6): String = {
+    val pre =
+      s"""WITH e AS MATERIALIZED ($edgesSql),
+          packed AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM e GROUP BY src, dst),
+          deg AS (SELECT src, sum(w) AS d FROM packed GROUP BY src),
+          contrib AS MATERIALIZED (
+            SELECT p.src, p.dst, CAST(p.w AS DOUBLE) * (1.0/CAST(d.d AS DOUBLE)) AS cw
+            FROM packed p JOIN deg d USING (src)),
+          v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst AS id FROM e),
+          s0 AS MATERIALIZED (SELECT id, 0.15 AS rank, 0.15 AS delta, TRUE AS active FROM v)"""
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+            SELECT v.id,
+              CASE WHEN m.msg IS NOT NULL THEN v.rank + 0.85*m.msg ELSE v.rank END AS rank,
+              CASE WHEN m.msg IS NOT NULL THEN 0.85*m.msg ELSE v.delta END AS delta,
+              (m.msg IS NOT NULL) AS active
+            FROM s${k - 1} v LEFT JOIN (
+              SELECT c.dst AS id, sum(f.delta * c.cw) AS msg
+              FROM s${k - 1} f JOIN contrib c ON c.src = f.id
+              WHERE f.active AND f.delta > $tol
+              GROUP BY c.dst) m USING (id))"""
+    }
+    val fin =
+      s""",tot AS (SELECT sum(rank) AS s, count(*) AS n FROM s$iters)
+          SELECT id, round(rank * (CAST(n AS DOUBLE)/s), 6) AS rank
+          FROM s$iters, tot ORDER BY id"""
+    pre + "," + steps.mkString(",") + fin
+  }
+
+  /** DuckDB SQL for label propagation as `iters` unrolled majority-vote
+    * rounds (pure integer arithmetic — exact, no FP concerns). The unroll
+    * equals the engine's maxIter so a capped, unconverged run still
+    * matches; a converged run is unchanged by extra rounds.
+    */
+  private def lpOracleSql(iters: Int, supervised: Boolean): String = {
+    val init =
+      if (supervised)
+        s"""SELECT v.id, s.label, s.label IS NOT NULL AS seeded FROM ($verticesSql) v
+            LEFT JOIN ($seedsSql) s ON v.id = s.node"""
+      else s"SELECT id, id AS label, FALSE AS seeded FROM ($verticesSql)"
+    val pre =
+      s"""WITH packed AS MATERIALIZED (
+            SELECT src, dst, count(*) AS w FROM ($edgesSql) GROUP BY src, dst),
+          s0 AS MATERIALIZED ($init)"""
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+            SELECT v.id,
+              CASE WHEN v.seeded THEN v.label
+                   WHEN m.vote IS NOT NULL THEN m.vote
+                   ELSE v.label END AS label,
+              v.seeded
+            FROM s${k - 1} v LEFT JOIN (
+              SELECT src AS id, label AS vote FROM (
+                SELECT src, label, cnt,
+                       row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+                FROM (SELECT e.src, f.label, sum(e.w) AS cnt
+                      FROM s${k - 1} f JOIN packed e ON e.dst = f.id
+                      WHERE f.label IS NOT NULL GROUP BY e.src, f.label))
+              WHERE rn = 1) m USING (id))"""
+    }
+    pre + "," + steps.mkString(",") +
+      s" SELECT id, label FROM s$iters WHERE label IS NOT NULL ORDER BY id"
+  }
+
+  /** DuckDB SQL for SSSP as `iters` unrolled synchronous relaxation rounds.
+    * Distances are identical bit-for-bit across engines: each candidate is
+    * the same left-to-right path sum, and min over equal candidate sets is
+    * order-free — so round(·, 6) agrees exactly. NULL = +∞; absent-row
+    * output contract preserved by the final filter.
+    */
+  private def ssspOracleSql(iters: Int): String = {
+    val wedges =
+      s"SELECT l_orderkey % $VertexMod AS src, l_partkey % $VertexMod AS dst, l_quantity AS weight FROM lineitem"
+    val pre =
+      s"""WITH packed AS MATERIALIZED (
+            SELECT src, dst, min(weight) AS weight FROM ($wedges) GROUP BY src, dst),
+          v AS (SELECT DISTINCT src AS id FROM ($wedges) UNION SELECT DISTINCT dst AS id FROM ($wedges)),
+          s0 AS MATERIALIZED (
+            SELECT id, CASE WHEN id = (SELECT min(src) FROM ($wedges)) THEN 0.0 END AS dist FROM v)"""
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (
+            SELECT v.id,
+              CASE WHEN m.d IS NULL THEN v.dist
+                   WHEN v.dist IS NULL OR m.d < v.dist THEN m.d
+                   ELSE v.dist END AS dist
+            FROM s${k - 1} v LEFT JOIN (
+              SELECT e.dst AS id, min(f.dist + e.weight) AS d
+              FROM s${k - 1} f JOIN packed e ON e.src = f.id
+              WHERE f.dist IS NOT NULL GROUP BY e.dst) m USING (id))"""
+    }
+    pre + "," + steps.mkString(",") +
+      s" SELECT id, round(dist, 6) AS dist FROM s$iters WHERE dist IS NOT NULL ORDER BY id"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "v1_lp" -> lpOracleSql(iters = graft.model.DefaultMaxIter, supervised = true),
+    "v1_lp_unsupervised" -> lpOracleSql(iters = graft.model.DefaultMaxIter, supervised = false),
+    "v5_sssp" -> ssspOracleSql(iters = 40),
+    "v2_pagerank" -> pageRankOracleSql(),
     "s2_edge_scan" ->
       s"SELECT src, dst, count(*) AS w FROM ($edgesSql) GROUP BY src, dst",
     "p2_filter_project" ->
