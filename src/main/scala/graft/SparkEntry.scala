@@ -220,20 +220,40 @@ object SparkEntry {
         .orderBy(col("url")))
   )
 
+  // ---- splitmix64-in-SQL helpers (HUGEINT arithmetic mod 2^64; each
+  // 64x64-bit wrapping multiply split into 32-bit halves because HUGEINT
+  // is signed INT128 and the naive product overflows) ----
+  private val two64 = "18446744073709551616"
+  private def mulmod(col: String, c: BigInt): String = {
+    val bh = c >> 32
+    val bl = c & 0xffffffffL
+    s"((($col) * $bl) % $two64 + (((($col) * $bh) % 4294967296) * 4294967296)) % $two64"
+  }
+  private val c1 = BigInt("BF58476D1CE4E5B9", 16)
+  private val c2 = BigInt("94D049BB133111EB", 16)
+
+  /** The full splitmix64 finalizer as one inline SQL expression over an
+    * unsigned-HUGEINT input expression.
+    */
+  private def mixSql(x: String): String = {
+    val z0 = s"((($x) + 11400714819323198485) % $two64)"
+    val y1 = s"xor($z0, ($z0) >> 30)"
+    val z1 = s"(${mulmod(y1, c1)})"
+    val y2 = s"xor($z1, ($z1) >> 27)"
+    val z2 = s"(${mulmod(y2, c2)})"
+    s"xor($z2, ($z2) >> 31)"
+  }
+
+  /** Unsigned-HUGEINT → signed-64 reinterpretation. */
+  private def signedSql(h: String): String =
+    s"(CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - $two64 ELSE ($h) END)"
+
   /** DuckDB SQL reproducing `SyntheticGraph.randomEdges(n, density)` (and
     * the identical topology embedded by `SyntheticPages`): splitmix64 in
-    * HUGEINT arithmetic mod 2^64, wrapping multiplies split into 32-bit
-    * halves, then the reference target rule, grouped to (src, dst, w).
+    * HUGEINT arithmetic mod 2^64, then the reference target rule, grouped
+    * to (src, dst, w).
     */
   private def synthEdgesOracleSql(n: Long, density: Int, seed: Long = 42L): String = {
-    val two64 = "18446744073709551616"
-    def mulmod(col: String, c: BigInt): String = {
-      val bh = c >> 32
-      val bl = c & 0xffffffffL
-      s"(($col * $bl) % $two64 + ((($col * $bh) % 4294967296) * 4294967296)) % $two64"
-    }
-    val c1 = BigInt("BF58476D1CE4E5B9", 16)
-    val c2 = BigInt("94D049BB133111EB", 16)
     s"""WITH s AS (
           SELECT i // $density AS src,
                  (CAST($seed AS HUGEINT) * 4294967296 + (i // $density) * $density + (i % $density)) % $two64 AS x
@@ -356,7 +376,43 @@ object SparkEntry {
       s" SELECT id, round(dist, 6) AS dist FROM s$iters WHERE dist IS NOT NULL ORDER BY id"
   }
 
+  /** DuckDB SQL reproducing the media pipeline's deterministic stub
+    * features end-to-end: per-media payload length and bytes from
+    * splitmix64, the byte-chain fold as a recursive CTE (one step per
+    * byte), and the 8 per-dimension features with exact float→double
+    * arithmetic parity. Round 1's only CORRECTNESS error row is thereby
+    * not just hashable but hash-verified.
+    */
+  private def mediaOracleSql(n: Long): String = {
+    s"""WITH RECURSIVE meta AS MATERIALIZED (
+          SELECT i, 64 + CAST(${mixSql("CAST(i AS HUGEINT)")} % 256 AS BIGINT) AS len
+          FROM generate_series(0, ${n - 1}) t(i)
+        ),
+        bytes AS MATERIALIZED (
+          SELECT m.i, j.j, ${mixSql("CAST(m.i AS HUGEINT) * 131071 + j.j")} % 256 AS b
+          FROM meta m JOIN generate_series(0, 400) j(j) ON j.j < m.len
+        ),
+        fold(i, j, acc) AS (
+          SELECT i, 0, CAST(0 AS HUGEINT) FROM meta
+          UNION ALL
+          SELECT f.i, f.j + 1, ${mixSql("xor(f.acc, b.b)")}
+          FROM fold f JOIN bytes b ON b.i = f.i AND b.j = f.j
+        ),
+        h0 AS (
+          SELECT f.i, f.acc FROM fold f JOIN meta m ON m.i = f.i WHERE f.j = m.len
+        ),
+        feat AS (
+          SELECT h.i AS media_id, d.d AS dim,
+            round(CAST(CAST(CAST(${signedSql(mixSql(s"(h.acc + d.d) % $two64"))} % 1000 AS BIGINT) AS REAL)
+                  / CAST(1000 AS REAL) AS DOUBLE), 6) AS value
+          FROM h0 h JOIN generate_series(0, 7) d(d) ON TRUE
+        )
+        SELECT media_id, CAST(dim AS INTEGER) AS dim, value
+        FROM feat ORDER BY media_id, dim"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_media_pipeline" -> mediaOracleSql(200L),
     "v1_lp" -> lpOracleSql(iters = graft.model.DefaultMaxIter, supervised = true),
     "v1_lp_unsupervised" -> lpOracleSql(iters = graft.model.DefaultMaxIter, supervised = false),
     "v5_sssp" -> ssspOracleSql(iters = 40),
