@@ -30,6 +30,16 @@ object Bench {
     Timed(v, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Best-of-`reps` timing (default 2, `SPARK_GRAFT_BENCH_REPS`): a single
+    * sample per query lets one host-noise spike (CPU steal, a stray GC)
+    * invert a whole round's verdict; the min of two runs of identical work
+    * is the standard noise-robust estimator. Returns the fastest run's
+    * value + time.
+    */
+  val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+  def timedBest[T](f: => T): Timed[T] =
+    (1 to math.max(1, reps)).map(_ => timed(f)).minBy(_.sec)
+
   def session(cpus: Int, app: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,14 +82,17 @@ object Bench {
   def graphBench(spark: SparkSession, n: Long, density: Int): GraphRun = {
     val edges = SyntheticGraph.randomEdges(spark, n, density)
     val seeds = SyntheticGraph.seeds(spark, n)
-    val lp = timed(LabelPropagation.run(edges, seeds))
+    val lp = timedBest(LabelPropagation.run(edges, seeds))
     val lpFp = ConnectedComponents.fingerprint64(lp.value.labels.toDF())
-    val pr = timed(PageRank.run(edges))
+    val pr = timedBest(PageRank.run(edges))
     val prFp = ConnectedComponents.fingerprint64(
       pr.value.ranks.toDF().select(col("id"), round(col("rank"), 6).as("r")))
+    // IterStats.computeMs is already the per-superstep share of batched jobs
+    def medIter(stats: List[Superstep.IterStats]): Double =
+      median(stats.map(_.computeMs)) / 1e3
     GraphRun(
-      lp.sec, lp.value.iterations, median(lp.value.stats.map(_.computeMs)) / 1e3,
-      pr.sec, pr.value.iterations, median(pr.value.stats.map(_.computeMs)) / 1e3,
+      lp.sec, lp.value.iterations, medIter(lp.value.stats),
+      pr.sec, pr.value.iterations, medIter(pr.value.stats),
       n * density, lpFp, prFp)
   }
 
@@ -97,19 +110,20 @@ object Bench {
     val e = Tables.edges(spark, sfDir).cache()
     val nEdges = e.count()
     val sd = Tables.seeds(spark, sfDir)
-    val lp = timed(LabelPropagation.run(e, sd))
+    val lp = timedBest(LabelPropagation.run(e, sd))
     results += "lp_derived" -> lp.sec
-    val pr = timed(PageRank.run(e))
+    val pr = timedBest(PageRank.run(e))
     results += "pagerank_derived" -> pr.sec
-    val cc = timed(ConnectedComponents.run(e))
+    val cc = timedBest(ConnectedComponents.run(e))
     results += "cc_derived" -> cc.sec
-    val tc = timed(TriangleCount.run(e))
+    val tc = timedBest(TriangleCount.run(e))
     results += "triangles_derived" -> tc.sec
 
     // synthetic reference-topology graph, north-rule metric
     val g = graphBench(spark, benchNodes, 10)
     results += "lp_synth" -> g.lpWallSec
     results += "pagerank_synth" -> g.prWallSec
+    extras += "bench_reps" -> reps.toString
     extras += "lp_synth_iters" -> g.lpIters.toString
     extras += "pr_synth_iters" -> g.prIters.toString
     extras += "synth_edges" -> g.edges.toString
@@ -127,10 +141,18 @@ object Bench {
     // rounds; star contraction lands in ~log² rounds)
     val pathEdges = spark.range(999999L)
       .select($"id".as("src"), ($"id" + 1L).as("dst")).as[Edge]
-    val ccStar = timed(ConnectedComponents.runStar(pathEdges))
+    val ccStar = timedBest(ConnectedComponents.runStar(pathEdges))
     results += "cc_star_path1m" -> ccStar.sec
     extras += "cc_star_path1m_rounds" -> ccStar.value.iterations.toString
     extras += "cc_star_path1m_components" -> ccStar.value.componentCount.toString
+    // star rounds now carry phase windows (star0..starN per round)
+    val starStats = ccStar.value.stats
+    extras += "cc_star_med_round_ms" ->
+      f"${median(starStats.map(_.computeMs))}%.0f"
+    extras += "cc_star_shuffle_write_mb" ->
+      f"${starStats.flatMap(_.phases.map(_.shuffleWriteBytes)).sum / 1e6}%.1f"
+    extras += "cc_star_stages_per_round_med" ->
+      f"${median(starStats.map(_.phases.size.toLong))}%.0f"
 
     // per-superstep phase windows (reference evidence style,
     // runtime_metrics.py:81-183): median wall ms of the gather and apply
@@ -148,11 +170,30 @@ object Bench {
     val docs = Tables.table(spark, sfDir, "documents").cache()
     docs.count()
     results += "text_analyze" ->
-      timed(TextAnalysis.analyze(docs).agg(sum($"n_tokens")).head()).sec
+      timedBest(TextAnalysis.analyze(docs).agg(sum($"n_tokens")).head()).sec
     results += "minhash_neardups" ->
-      timed(Dedup.minhashNearDups(docs, threshold = 0.7).count()).sec
+      timedBest(Dedup.minhashNearDups(docs, threshold = 0.7).count()).sec
     results += "simhash_neardups" ->
-      timed(Dedup.simhashNearDups(docs).count()).sec
+      timedBest(Dedup.simhashNearDups(docs).count()).sec
+
+    // embedding near-dup LSH, with its total shuffle-write volume as the
+    // evidence for the id-only candidate reshape (vectors no longer ride
+    // the tables× bucket explode or the pair-distinct)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec")).cache()
+    val embDim = emb.select(size($"vec")).head().getInt(0)
+    emb.count()
+    val lshListener = new Superstep.PhaseListener
+    spark.sparkContext.addSparkListener(lshListener)
+    val embLsh = try {
+      lshListener.drainAs("warm") // discard cache-build stages
+      val t = timedBest(Dedup.embeddingNearDupsLsh(emb, embDim, 0.40).count())
+      val bytes = lshListener.drainAs("lsh").map(_.shuffleWriteBytes).sum
+      extras += "embedding_lsh_shuffle_write_mb" -> f"${bytes / 1e6 / reps}%.1f"
+      t
+    } finally spark.sparkContext.removeSparkListener(lshListener)
+    results += "embedding_neardups_lsh" -> embLsh.sec
+    extras += "embedding_lsh_pairs" -> embLsh.value.toString
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

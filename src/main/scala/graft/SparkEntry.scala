@@ -413,6 +413,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_media_pipeline" -> mediaOracleSql(200L),
+    // the five previously rows-only LSH queries: xxhash64 (and the
+    // splitmix64 hyperplanes) transcribed into HUGEINT SQL — see
+    // graft.oracle.HashOracleSql
+    "q_simhash_sigs" -> graft.oracle.HashOracleSql.simhashSigsSql,
+    "q_simhash_neardups" -> graft.oracle.HashOracleSql.simhashNearDupsSql(3),
+    "q_minhash_neardups" -> graft.oracle.HashOracleSql.minhashNearDupsSql(
+      w = 3, bands = 16, rows = 4, threshold = 0.7),
+    "q_embedding_neardups_lsh" ->
+      graft.oracle.HashOracleSql.embeddingNearDupsLshSql(0.40, 6, 12),
+    "q_knn_lsh" -> graft.oracle.HashOracleSql.knnLshSql(5, 8, 8),
     "v1_lp" -> lpOracleSql(iters = graft.model.DefaultMaxIter, supervised = true),
     "v1_lp_unsupervised" -> lpOracleSql(iters = graft.model.DefaultMaxIter, supervised = false),
     "v5_sssp" -> ssspOracleSql(iters = 40),

@@ -53,8 +53,9 @@ object ConnectedComponents {
           coalesce($"m" < $"comp", lit(false)).as("_chg"))
     }
 
+    val inputFp = cfg.checkpointDir.map(_ => fingerprint64(und.toDF()))
     val res = Superstep.loopResumable(init, step,
-      cfg.copy(convergenceThreshold = 0L), algo = "cc")
+      cfg.copy(convergenceThreshold = 0L), algo = "cc", inputFingerprint = inputFp)
     val comps = res.state.select($"id", $"comp".as("component"))
       .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
     val nComp = comps.agg(countDistinct($"component")).head().getLong(0)
@@ -80,72 +81,128 @@ object ConnectedComponents {
     * an order-insensitive xxhash64 XOR fingerprint + count on the persisted
     * set (one tiny agg job per round on cached data).
     */
-  def runStar(edges: Dataset[Edge], maxRounds: Int = 100): CcResult = {
+  def runStar(edges: Dataset[Edge], maxRounds: Int = 100,
+      cfg: RunConfig = RunConfig()): CcResult = {
     val spark = edges.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.GraftSqlShim
 
-    val vertices = edges.select($"src".as("id"))
-      .union(edges.select($"dst".as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var g = edges.select(
-      least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-      .filter($"u" =!= $"v").distinct()
-      .select($"v".as("u"), $"u".as("v")) // point large→small like small-star input
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var backing = g // owns the persisted blocks behind the current view
-    var fp = fingerprintAndCount(g)
-    var rounds = 0
-    var converged = false
-    var stats = List.empty[Superstep.IterStats]
-    while (!converged && rounds < maxRounds) {
-      val t0 = System.nanoTime()
-      // large-star: Γ taken over both directions; m(u) = min(Γ(u) ∪ {u});
-      // every neighbour v > u re-points to m(u)
-      val bidir = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v")))
-      val minsL = bidir.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
-      val ls = bidir.join(minsL, "u")
-        .filter($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v"))
-        .filter($"u" =!= $"v")
-        .distinct()
-      // small-star: all edges now point large→small; m(u) = min(N(u) ∪ {u});
-      // u and its neighbours except m re-point to m
-      val minsS = ls.groupBy($"u").agg(min($"v").as("m"))
-      val ss = ls.join(minsS, "u")
-        .filter($"v" =!= $"m")
-        .select($"v".as("u"), $"m".as("v"))
-        .union(minsS.select($"u", $"m".as("v")))
-        .filter($"u" =!= $"v")
-        .distinct()
+    // rounds run under the pinned loop session (broadcast ban, shuffled-hash
+    // preference, AQE off) exactly like Superstep.loop: with caller-default
+    // confs the sub-threshold minsL/minsS aggregates are collected to the
+    // driver and re-broadcast EVERY round — the documented per-superstep
+    // trap, measured as ~4.8 s/round of driver fixed cost on a 1M-edge
+    // path graph
+    val loopSession = GraftSqlShim.sessionWithConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.join.preferSortMergeJoin" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val listener = new Superstep.PhaseListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val vertices = edges.select($"src".as("id"))
+        .union(edges.select($"dst".as("id"))).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newFp = fingerprintAndCount(ss) // materializes the persisted set
-      // logical-plan truncation every round (each half-step references its
-      // input twice → untruncated plans double per round); a real
-      // localCheckpoint every 8 rounds bounds the RDD DAG
-      val (view, newBacking) = if ((rounds + 1) % 8 == 0) {
-        val lc = ss.localCheckpoint(eager = true)
-        ss.unpersist(blocking = false)
-        (lc, lc)
-      } else (org.apache.spark.sql.GraftSqlShim.truncatedView(ss), ss)
-      backing.unpersist(blocking = false)
-      g = view
-      backing = newBacking
-      rounds += 1
-      converged = newFp == fp
-      fp = newFp
-      stats ::= Superstep.IterStats(rounds, if (converged) 0 else 1, newFp._2,
-        (System.nanoTime() - t0) / 1000000L, 0)
-    }
 
-    val comps = vertices
-      .join(g.select($"u".as("id"), $"v".as("c")), Seq("id"), "left_outer")
-      .select($"id", coalesce($"c", $"id").as("component"))
-      .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
-    val nComp = comps.agg(countDistinct($"component")).head().getLong(0)
-    backing.unpersist(blocking = false)
-    vertices.unpersist(blocking = false)
-    CcResult(comps, rounds, nComp, stats.reverse)
+      val initial = edges.select(
+        least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .filter($"u" =!= $"v").distinct()
+        .select($"v".as("u"), $"u".as("v")) // point large→small like small-star input
+
+      // input identity = the canonical undirected distinct edge set (raw
+      // `edges` would let duplicate rows cancel in the XOR fold)
+      val inputFp = cfg.checkpointDir.map(_ => fingerprint64(initial.toDF()))
+      val (state0, rounds0, resumedConverged) = cfg.checkpointDir match {
+        case Some(dir) =>
+          Superstep.resumeOrInit(spark, dir, initial.toDF(), "cc_star", inputFp)
+        case None => (initial.toDF(), 0, false)
+      }
+
+      var g = GraftSqlShim.bind(loopSession, state0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var backing = g // owns the persisted blocks behind the current view
+      var rounds = rounds0
+      var converged = resumedConverged
+      var fp = if (converged) (0L, 0L) else fingerprintAndCount(g)
+      listener.drainAs("init") // init/resume stages are not round phases
+      var stats = List.empty[Superstep.IterStats]
+      while (!converged && rounds < maxRounds) {
+        val t0 = System.nanoTime()
+        // large-star: Γ taken over both directions; m(u) = min(Γ(u) ∪ {u});
+        // every neighbour v > u re-points to m(u)
+        val bidir = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v")))
+        val minsL = bidir.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+        val ls = bidir.join(minsL, "u")
+          .filter($"v" > $"u")
+          .select($"v".as("u"), $"m".as("v"))
+          .filter($"u" =!= $"v")
+          .distinct()
+        // small-star: all edges now point large→small; m(u) = min(N(u) ∪ {u});
+        // u and its neighbours except m re-point to m
+        val minsS = ls.groupBy($"u").agg(min($"v").as("m"))
+        val ss = ls.join(minsS, "u")
+          .filter($"v" =!= $"m")
+          .select($"v".as("u"), $"m".as("v"))
+          .union(minsS.select($"u", $"m".as("v")))
+          .filter($"u" =!= $"v")
+          .distinct()
+        // persist a FLAT LogicalRDD view of the round result: the IMR the
+        // next round references then carries a one-node cachedPlan (scan of
+        // this round's executed RDD) instead of the whole round plan. A
+        // round plan references the previous state ~12× (bidir twice, both
+        // star joins, the union), so IMR-over-raw-plan nests 12^depth
+        // previous-round references into every plan STRING the driver
+        // renders (SparkPlanInfo/UI) — OOM after a handful of rounds. The
+        // superstep loop can't use this trick (observations must ride the
+        // persisted plan); star rounds use fingerprints, so they can.
+        val ssB = GraftSqlShim.truncatedView(GraftSqlShim.bind(loopSession, ss))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newFp = fingerprintAndCount(ssB) // materializes the persisted set
+        val phases = listener.drainAs("star")
+        // logical-plan truncation every round (each half-step references its
+        // input twice → untruncated plans double per round); a real
+        // localCheckpoint every K rounds bounds the RDD DAG
+        val (view, newBacking) =
+          if ((rounds + 1 - rounds0) % cfg.localCheckpointEvery == 0) {
+            val lc = ssB.localCheckpoint(eager = true)
+            ssB.unpersist(blocking = false)
+            lc.persist(StorageLevel.MEMORY_AND_DISK)
+            (GraftSqlShim.cachedView(lc), lc)
+          } else (GraftSqlShim.cachedView(ssB), ssB)
+        listener.drainAs("lc") // discard the localCheckpoint job's stages
+        rounds += 1
+        converged = newFp == fp
+        fp = newFp
+        val computeMs = (System.nanoTime() - t0) / 1000000L
+        val t1 = System.nanoTime()
+        cfg.checkpointDir.foreach { dir =>
+          if (converged || rounds % cfg.checkpointEvery == 0 || rounds >= maxRounds) {
+            Superstep.writeCheckpoint(dir, "cc_star", rounds,
+              changed = if (converged) 0L else newFp._2, rows = newFp._2,
+              state = view, converged = converged, threshold = 0L,
+              phases = phases, inputFingerprint = inputFp)
+            listener.drainAs("ckpt") // keep next round's phases clean
+          }
+        }
+        val checkpointMs = (System.nanoTime() - t1) / 1000000L
+        backing.unpersist(blocking = false)
+        g = view
+        backing = newBacking
+        stats ::= Superstep.IterStats(rounds, if (converged) 0 else 1, newFp._2,
+          computeMs, checkpointMs, phases)
+      }
+
+      // final vertex mapping + count plan under the CALLER's session/confs
+      val comps = vertices
+        .join(GraftSqlShim.bind(spark, g).select($"u".as("id"), $"v".as("c")),
+          Seq("id"), "left_outer")
+        .select($"id", coalesce($"c", $"id").as("component"))
+        .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
+      val nComp = comps.agg(countDistinct($"component")).head().getLong(0)
+      backing.unpersist(blocking = false)
+      vertices.unpersist(blocking = false)
+      CcResult(comps, rounds - rounds0, nComp, stats.reverse)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   private def fingerprintAndCount(df: DataFrame): (Long, Long) = {

@@ -53,6 +53,10 @@ object PageRank {
 
     val packed = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop shuffle width stays at the session conf: shrinking it to match
+    // small inputs was measured SLOWER at local[32] (48 s vs 41 s for the
+    // 75-superstep 1M-edge run, interleaved min-of-2) — the per-superstep
+    // floor on this box is thread contention, not task count
     val outDeg = packed.groupBy($"src").agg(sum($"w").as("deg"))
     // contribution weight per distinct (src,dst): multiplicity / outDegree
     val contribRaw = packed.join(outDeg, "src")
@@ -96,8 +100,10 @@ object PageRank {
           $"msg".isNotNull.as("_chg"))
     }
 
+    val inputFp = cfg.checkpointDir.map(_ =>
+      ConnectedComponents.fingerprint64(contrib.select($"src", $"dst", $"cw")))
     val res = Superstep.loopResumable(init, step,
-      cfg.copy(maxIter = maxIter), algo = "pagerank")
+      cfg.copy(maxIter = maxIter), algo = "pagerank", inputFingerprint = inputFp)
 
     // SPARK-18847: scale ranks so they sum to the vertex count
     val rawSum = res.state.agg(sum($"rank")).head().getDouble(0)

@@ -60,14 +60,20 @@ object Superstep {
       shuffleReadBytes: Long,
       shuffleWriteBytes: Long)
 
-  /** Per-iteration phase metrics (reference style: `runtime_metrics.py:81-183`). */
+  /** Per-iteration phase metrics (reference style: `runtime_metrics.py:81-183`).
+    * One entry per superstep even under batching: `changed`/`rows` come from
+    * the step's own observation, `computeMs` is the superstep's equal share
+    * of its job, and `steps` records how many supersteps shared that job
+    * (phases + checkpointMs ride the batch's last entry).
+    */
   final case class IterStats(
       iteration: Int,
       changed: Long,
       rows: Long,
       computeMs: Long,
       checkpointMs: Long,
-      phases: List[PhaseWindow] = Nil)
+      phases: List[PhaseWindow] = Nil,
+      steps: Int = 1)
 
   final case class LoopResult(
       state: DataFrame,
@@ -88,7 +94,7 @@ object Superstep {
     * returns (same listener queue), so the drain is race-free for the job
     * it attributes.
     */
-  private final class PhaseListener extends SparkListener {
+  private[graft] final class PhaseListener extends SparkListener {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, PhaseWindow)]
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
       val si = ev.stageInfo
@@ -99,18 +105,52 @@ object Superstep {
         m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten)
       buf.synchronized { buf += ((si.stageId, w)) }
     }
-    /** Stages completed since the last drain, in stage order, phase-named. */
-    def drain(): List[PhaseWindow] = {
+    /** Stages completed since the last drain, in stage order, phase-named.
+      * `steps` = supersteps materialized by the drained job; the canonical
+      * unbatched job shape is gather (map-side scatter + partial agg),
+      * apply (final agg + apply join + persist), collect (single-task
+      * count). Batched jobs rarely match the 2·steps+1 template (their
+      * duplicated subtrees re-execute, see [[DefaultBatchK]]) and fall
+      * back to positional stage names.
+      */
+    def drain(steps: Int = 1): List[PhaseWindow] = {
       val raw = buf.synchronized { val r = buf.sortBy(_._1).toList; buf.clear(); r }
-      val names = raw.size match {
-        // canonical superstep job: map-side gather/scatter + partial agg,
-        // final agg + apply join + persist, single-task count collect
-        case 3 => List("gather", "apply", "collect")
-        case n => (0 until n).map(i => s"stage$i").toList
-      }
+      val names =
+        if (raw.size == 2 * steps + 1)
+          (0 until 2 * steps).map(i => if (i % 2 == 0) "gather" else "apply").toList :+ "collect"
+        else (0 until raw.size).map(i => s"stage$i").toList
       raw.zip(names).map { case ((_, w), n) => w.copy(phase = n) }
     }
+    /** Drain with positional `prefix0..prefixN` names (loops whose job
+      * shape is not the canonical gather/apply superstep, e.g. star CC
+      * rounds).
+      */
+    def drainAs(prefix: String): List[PhaseWindow] = {
+      val raw = buf.synchronized { val r = buf.sortBy(_._1).toList; buf.clear(); r }
+      raw.zipWithIndex.map { case ((_, w), i) => w.copy(phase = s"$prefix$i") }
+    }
   }
+
+  /** Supersteps composed into one materializing job once the frontier is
+    * at most this many changed rows (fixed driver cost per job — plan
+    * build, scheduling, observation round-trip — dominates real work
+    * there). Bounded so large-frontier iterations, whose per-reference
+    * post-shuffle re-execution cost is O(|state|), never batch.
+    */
+  val DefaultBatchFrontierMax: Long = 262144L
+
+  /** Supersteps per batched job. OFF (1) by default: measured on both the
+    * LP and PageRank step shapes, the composed job re-executes duplicated
+    * state references instead of reusing them (LP 4-step batch = 3× the
+    * unbatched cost; PR = 2.3× min-of-reps, 44.7 s vs 101.8 s at 100k
+    * nodes × 75 supersteps) — ReuseExchange does not collapse the
+    * duplicated subtrees in practice even with an InMemoryRelation state
+    * leaf. The machinery stays (correctness is proven equal by
+    * PageRankSpec's bit-identical batched-vs-serial test) for callers
+    * whose step shape does compose.
+    */
+  val DefaultBatchK: Int = 1
+
 
   /** Run `step` from `init` until the number of changed rows is ≤ `threshold`
     * or `maxIter` supersteps have completed. `startIter` > 0 resumes
@@ -118,6 +158,23 @@ object Superstep {
     *
     * Convergence mirrors `should_continue` (`ow-lp/src/lib.rs:424-426`):
     * iterate while iterations < maxIter and changed > threshold.
+    *
+    * Superstep batching: under the exact-fixpoint rule (threshold 0, no
+    * ratio rule) any superstep past convergence is a no-op — the frontier
+    * is empty, messages vanish and every `_chg` is false — so once the
+    * frontier drops to ≤ `batchFrontierMax` changed rows, `batchK`
+    * supersteps share ONE job (one plan build, one action) and
+    * per-superstep driver fixed cost divides by `batchK`. Each composed
+    * step carries its own observation, so the loop still detects the
+    * EARLIEST converged superstep: the batch tail past it is executed
+    * no-ops, and both the reported iteration count and the final state
+    * match the unbatched run exactly. Batching never engages for
+    * threshold/ratio rules (a no-op tail is only guaranteed under the
+    * exact fixpoint rule) and never crosses a checkpoint boundary or
+    * `maxIter`.
+    *
+    * `inputFingerprint`: recorded in every checkpoint manifest; resume
+    * refuses a manifest whose fingerprint differs (see [[resumeOrInit]]).
     */
   def loop(
       init: DataFrame,
@@ -129,10 +186,14 @@ object Superstep {
       localCheckpointEvery: Int = 8,
       startIter: Int = 0,
       algo: String = "superstep",
-      ratioThreshold: Option[Double] = None): LoopResult = {
+      ratioThreshold: Option[Double] = None,
+      batchK: Int = DefaultBatchK,
+      batchFrontierMax: Long = DefaultBatchFrontierMax,
+      inputFingerprint: Option[Long] = None): LoopResult = {
     require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     require(localCheckpointEvery > 0,
       s"localCheckpointEvery must be positive, got $localCheckpointEvery")
+    require(batchK > 0, s"batchK must be positive, got $batchK")
 
     val session = SparkSession.active
     val loopSession = GraftSqlShim.sessionWithConfs(session,
@@ -144,6 +205,9 @@ object Superstep {
       // the dominant per-superstep fixed cost at 100K vertices, and fatal
       // to scaling at 4M). The co-partitioned shuffled-hash gather join
       // needs zero exchanges and builds only |partition|-sized hash maps.
+      // Loop shuffle width stays at the session conf: shrinking it to the
+      // data size was measured SLOWER at local[32] (PR 1M edges × 75
+      // steps: 48 s at 8-way vs 41 s at 32-way, interleaved min-of-2).
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val listener = new PhaseListener
     session.sparkContext.addSparkListener(listener)
@@ -158,68 +222,142 @@ object Superstep {
     var stats = List.empty[IterStats]
 
     val loopTimers = sys.env.contains("SPARK_GRAFT_LOOP_TIMERS")
+    // exact-fixpoint rule ⇒ oversteps are no-ops ⇒ batching is sound
+    val mayBatch = threshold == 0L && ratioThreshold.isEmpty
+    var lastChanged = Long.MaxValue // frontier size unknown before step 1
     try while (iter < maxIter && !converged) {
       val t0 = System.nanoTime()
-      val doneIter = iter + 1
+      val k0 = if (mayBatch && lastChanged <= batchFrontierMax) batchK else 1
+      val k1 = math.min(k0, maxIter - iter)
+      // never batch across a durable-checkpoint boundary
+      val k = checkpointDir match {
+        case Some(_) => math.min(k1, (iter / checkpointEvery + 1) * checkpointEvery - iter)
+        case None => k1
+      }
+      val doneIter = iter + k
       // changed/row counts ride the materializing count() via observe()
       // (accumulator-backed) — no separate aggregation job per superstep,
-      // which at converged-frontier sizes costs as much as the superstep
-      val obs = new Observation(s"superstep_$doneIter")
-      val next = GraftSqlShim.bind(loopSession, step(state, iter))
-        .observe(obs, count(lit(1)).as("rows"),
-          sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // which at converged-frontier sizes costs as much as the superstep.
+      // A batched job carries ONE CollectMetrics node per composed step
+      // (pass-through: partitioning/ordering preserved, no stage break),
+      // so per-superstep changed counts — and the exact convergence
+      // iteration — survive batching.
+      val obsPerStep = (iter until doneIter).map { i =>
+        new Observation(s"superstep_${i + 1}")
+      }
+      var composed = state
+      for (i <- iter until doneIter) {
+        composed = GraftSqlShim.bind(loopSession, step(composed, i))
+          .observe(obsPerStep(i - iter), count(lit(1)).as("rows"),
+            sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
+      }
+      val next = composed.persist(StorageLevel.MEMORY_AND_DISK)
       val tBuilt = System.nanoTime()
-      if (doneIter == 3 && sys.env.contains("SPARK_GRAFT_EXPLAIN_STEP"))
+      if (doneIter >= 3 && iter < 3 && sys.env.contains("SPARK_GRAFT_EXPLAIN_STEP"))
         next.explain("formatted") // debug: dump one steady-state superstep plan
-      val rows = next.count() // THE one job: caches state + fires the observation
+      // tag the materializing job so driver logs / the UI attribute every
+      // stage to its superstep (and stray jobs stand out)
+      session.sparkContext.setJobDescription(
+        s"$algo superstep ${iter + 1}${if (k > 1) s"-$doneIter" else ""}")
+      next.count() // THE one job: caches state + fires every observation
+      session.sparkContext.setJobDescription(null)
       val tCounted = System.nanoTime()
-      val metrics = obs.get
+      // per-step (changed, rows), all fired by the single job above
+      val perStep: Seq[(Long, Long)] = obsPerStep.map { o =>
+        val m = o.get
+        val chg = m.get("changed").map {
+          case null => 0L
+          case v => v.asInstanceOf[Long]
+        }.getOrElse(0L)
+        val rws = m.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+        (chg, rws)
+      }
       if (loopTimers) {
         val tObs = System.nanoTime()
-        System.err.println(f"[loop] iter=$doneIter build=${(tBuilt - t0) / 1e6}%.0fms " +
-          f"count=${(tCounted - tBuilt) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms")
+        System.err.println(f"[loop] iter=$doneIter k=$k build=${(tBuilt - t0) / 1e6}%.0fms " +
+          f"count=${(tCounted - tBuilt) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms " +
+          s"changed=${perStep.map(_._1).mkString(",")}")
       }
-      val changed = metrics.get("changed").map {
-        case null => 0L
-        case v => v.asInstanceOf[Long]
-      }.getOrElse(0L)
-      val phases = listener.drain()
+      val phases = listener.drain(k)
 
-      // logical lineage truncation every step is free (LogicalRDD over the
-      // cache); a real localCheckpoint every K steps bounds the RDD DAG
-      // that task closures carry
+      // logical lineage truncation every step is free (a flat
+      // InMemoryRelation view over the cache — an IMR leaf, unlike a
+      // LogicalRDD one, also keeps ReuseExchange working inside batched
+      // plans, see GraftSqlShim.cachedView); a real localCheckpoint every
+      // K steps bounds the RDD DAG that task closures carry, and is
+      // re-persisted so the state leaf stays an IMR
+      // SPARK_GRAFT_STATE_LEAF=rdd is a perf-probe escape hatch back to the
+      // r2 LogicalRDD leaf (breaks ReuseExchange inside batched plans, so
+      // only meaningful with batchK = 1)
+      val rddLeaf = sys.env.get("SPARK_GRAFT_STATE_LEAF").contains("rdd")
       val (view, newBacking) =
-        if ((doneIter - startIter) % localCheckpointEvery == 0) {
+        if ((doneIter - startIter) % localCheckpointEvery < k) {
           val lc = next.localCheckpoint(eager = true)
           next.unpersist(blocking = false)
-          (lc, lc)
-        } else (GraftSqlShim.truncatedView(next), next)
+          if (rddLeaf) (lc, lc)
+          else {
+            lc.persist(StorageLevel.MEMORY_AND_DISK)
+            (GraftSqlShim.cachedView(lc), lc)
+          }
+        } else if (rddLeaf) (GraftSqlShim.truncatedView(next), next)
+        else (GraftSqlShim.cachedView(next), next)
       listener.drain() // discard the localCheckpoint job's stages, if any
       if (loopTimers)
         System.err.println(f"[loop] iter=$doneIter total=${(System.nanoTime() - t0) / 1e6}%.0fms")
       val computeMs = (System.nanoTime() - t0) / 1000000L
 
+      // the FULL convergence decision (absolute count, `ow-lp/src/lib.rs:
+      // 424-426`, OR the lpst class-API change-ratio rule, `lpst/src/lib
+      // .rs:484-496`) is computed once per SUPERSTEP and drives loop exit,
+      // the checkpoint-write gate and the manifest's converged field alike.
+      // In a batched job the loop stops at the EARLIEST converged step —
+      // the batch tail past it consists of executed-but-uncounted no-ops,
+      // so the reported iteration count and final state both match the
+      // unbatched run exactly.
+      def decide(chg: Long, rws: Long): Boolean = chg <= threshold ||
+        ratioThreshold.exists(r => rws > 0 && chg.toDouble / rws <= r)
+      val firstConv = perStep.indexWhere { case (c, r) => decide(c, r) }
+      converged = firstConv >= 0
+      val effK = if (converged) firstConv + 1 else k
+      val effIter = iter + effK
+      val (chgEff, rowsEff) = perStep(effK - 1)
+
       val t1 = System.nanoTime()
       checkpointDir.foreach { dir =>
         // state is checkpointed WITH its _chg column: frontier algorithms
         // need it to resume with the correct active set
-        if (changed <= threshold || doneIter % checkpointEvery == 0 || doneIter >= maxIter)
-          writeCheckpoint(dir, algo, doneIter, changed, rows, view, threshold, phases)
+        if (converged || effIter % checkpointEvery == 0 || effIter >= maxIter) {
+          writeCheckpoint(dir, algo, effIter, chgEff, rowsEff, view, converged,
+            threshold, phases, inputFingerprint)
+          // the parquet write + per-partition count are their own jobs:
+          // drain their stages so the NEXT iteration's phase windows stay
+          // attributed to its own superstep job only
+          listener.drain()
+        }
       }
       val checkpointMs = (System.nanoTime() - t1) / 1000000L
 
       backing.unpersist(blocking = false)
       state = view
       backing = newBacking
-      iter = doneIter
-      stats ::= IterStats(doneIter, changed, rows, computeMs, checkpointMs, phases)
-      // absolute count (`ow-lp/src/lib.rs:424-426`), plus the optional
-      // lpst class-API change-ratio rule (`lpst/src/lib.rs:484-496`)
-      converged = changed <= threshold ||
-        ratioThreshold.exists(r => rows > 0 && changed.toDouble / rows <= r)
+      iter = effIter
+      lastChanged = chgEff
+      // one IterStats per counted superstep: exact per-step changed/rows
+      // from its observation; computeMs is the per-step share of the
+      // (possibly batched) job; `steps` records the job's batch width;
+      // job-level phases + checkpoint time ride the batch's last entry
+      for (j <- 0 until effK) {
+        val (c, r) = perStep(j)
+        val last = j == effK - 1
+        stats ::= IterStats(iter - effK + j + 1, c, r, computeMs / k,
+          if (last) checkpointMs else 0L, if (last) phases else Nil, k)
+      }
     } finally session.sparkContext.removeSparkListener(listener)
-    LoopResult(state.drop("_chg"), iter - startIter, converged, stats.reverse)
+    // rebind the final state to the CALLER's session: downstream one-shot
+    // queries (result aggregations, orderBys, sinks) must plan under the
+    // caller's confs, not the loop-pinned ones (AQE off, broadcast ban)
+    LoopResult(GraftSqlShim.bind(session, state.drop("_chg")),
+      iter - startIter, converged, stats.reverse)
   }
 
   /** [[loop]] with automatic resume: when `cfg.checkpointDir` holds a
@@ -232,34 +370,43 @@ object Superstep {
       init: => DataFrame,
       step: Step,
       cfg: graft.model.RunConfig,
-      algo: String): LoopResult = {
+      algo: String,
+      inputFingerprint: Option[Long] = None): LoopResult = {
     cfg.checkpointDir match {
       case None =>
         loop(init, step, cfg.maxIter, cfg.convergenceThreshold,
           None, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = algo,
-          ratioThreshold = cfg.convergenceRatio)
+          ratioThreshold = cfg.convergenceRatio,
+          batchK = cfg.batchK, batchFrontierMax = cfg.batchFrontierMax)
       case Some(dir) =>
         val (state, doneIter, converged) = {
           val spark = SparkSession.active
-          resumeOrInit(spark, dir, init, algo)
+          resumeOrInit(spark, dir, init, algo, inputFingerprint)
         }
         if (converged) LoopResult(state.drop("_chg"), 0, converged = true, Nil)
         else loop(state, step, cfg.maxIter, cfg.convergenceThreshold,
           Some(dir), cfg.checkpointEvery, cfg.localCheckpointEvery,
-          startIter = doneIter, algo = algo, ratioThreshold = cfg.convergenceRatio)
+          startIter = doneIter, algo = algo, ratioThreshold = cfg.convergenceRatio,
+          batchK = cfg.batchK, batchFrontierMax = cfg.batchFrontierMax,
+          inputFingerprint = inputFingerprint)
     }
   }
 
   /** Resume state from the newest committed checkpoint under `dir`, or fall
     * back to `init`. Returns (state, iterationAlreadyCompleted, converged).
     * A manifest written by a different algorithm (or a pre-`algo` layout)
-    * fails loudly instead of silently returning the other run's state.
+    * fails loudly instead of silently returning the other run's state; so
+    * does a manifest whose recorded input fingerprint differs from
+    * `inputFingerprint` — resuming an old run against a mutated edge table
+    * would silently continue from stale state (SURVEY §7.5's
+    * `inputFingerprint` contract).
     */
   def resumeOrInit(
       spark: SparkSession,
       dir: String,
       init: => DataFrame,
-      expectedAlgo: String): (DataFrame, Int, Boolean) = {
+      expectedAlgo: String,
+      inputFingerprint: Option[Long] = None): (DataFrame, Int, Boolean) = {
     latestManifest(spark, dir) match {
       case Some((iterDone, manifest)) =>
         val found = "\"algo\":\"([^\"]*)\"".r
@@ -268,6 +415,16 @@ object Superstep {
           throw new IllegalStateException(
             s"checkpoint at $dir was written by algo '${found.getOrElse("<unknown>")}', " +
             s"not '$expectedAlgo' — refusing to resume from another run's state")
+        val foundFp = "\"input_fp\":(-?\\d+)".r
+          .findFirstMatchIn(manifest).map(_.group(1).toLong)
+        (inputFingerprint, foundFp) match {
+          case (Some(now), Some(then_)) if now != then_ =>
+            throw new IllegalStateException(
+              s"checkpoint at $dir was written for input fingerprint $then_, " +
+              s"but the current input fingerprints to $now — refusing to resume " +
+              "a run against a different input table")
+          case _ => ()
+        }
         val state = spark.read.parquet(s"$dir/iter=$iterDone/state")
         val converged = manifest.contains("\"converged\":true")
         (state, iterDone, converged)
@@ -299,10 +456,11 @@ object Superstep {
     }.nextOption()
   }
 
-  private def writeCheckpoint(
+  private[graft] def writeCheckpoint(
       dir: String, algo: String, iteration: Int,
       changed: Long, rows: Long, state: DataFrame,
-      threshold: Long, phases: List[PhaseWindow]): Unit = {
+      converged: Boolean, threshold: Long, phases: List[PhaseWindow],
+      inputFingerprint: Option[Long] = None): Unit = {
     val spark = state.sparkSession
     val statePath = s"$dir/iter=$iteration/state"
     state.write.mode("overwrite").parquet(statePath)
@@ -314,10 +472,11 @@ object Superstep {
       s"""{"phase":"${w.phase}","wall_ms":${w.wallMs},""" +
       s""""task_time_ms":${w.taskTimeMs},"shuffle_read_bytes":${w.shuffleReadBytes},""" +
       s""""shuffle_write_bytes":${w.shuffleWriteBytes}}""").mkString("[", ",", "]")
+    val fpJson = inputFingerprint.map(fp => s""""input_fp":$fp,""").getOrElse("")
     val manifest =
       s"""{"algo":"${algo}","iteration":$iteration,"changed":$changed,""" +
-      s""""rows":$rows,"converged":${changed <= threshold},""" +
-      s""""convergence_threshold":$threshold,""" +
+      s""""rows":$rows,"converged":$converged,""" +
+      s""""convergence_threshold":$threshold,$fpJson""" +
       s""""perPartitionRows":[${perPart.map(_._2).mkString(",")}],""" +
       s""""phases":$phaseJson}"""
     val conf = spark.sparkContext.hadoopConfiguration

@@ -103,5 +103,14 @@ object model {
       // and zero overhead on uniform ones. 0/1 disables; k > 1 forces that
       // salt factor.
       hubSaltK: Int = -1,
-      hubDegreeThreshold: Long = 2000000L)
+      hubDegreeThreshold: Long = 2000000L,
+      // small-frontier superstep batching (see Superstep.loop): compose up
+      // to batchK supersteps into one job once the frontier is at most
+      // batchFrontierMax changed rows. Engages only under the exact
+      // fixpoint rule (threshold 0, no ratio), where oversteps are no-ops.
+      // OFF by default (1): measured, composition re-executes duplicated
+      // state references on both the LP and PR step shapes (2-3× the
+      // unbatched cost) — see Superstep.DefaultBatchK.
+      batchK: Int = graft.algo.Superstep.DefaultBatchK,
+      batchFrontierMax: Long = 262144L)
 }

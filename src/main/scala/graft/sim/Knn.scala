@@ -77,19 +77,27 @@ object Knn {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               bits: Int = 8, tables: Int = 8): DataFrame = {
-    def bucketed(df: DataFrame, idName: String, vecName: String) =
-      df.select(col("id").as(idName), col("vec").as(vecName),
+    def bucketed(df: DataFrame, idName: String) =
+      df.select(col("id").as(idName),
         posexplode(array((0 until tables).map(t =>
           bucketCol(col("vec"), dim, bits, t)): _*)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "bucket")
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "neighbor_id")
+    val q = bucketed(queries, "query_id")
+    // id-only candidate generation (minhash recipe): corpus vectors must
+    // not ride the tables× bucket explode, and the candidate distinct runs
+    // over id pairs, not float arrays; vectors re-join once afterwards
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
+    val withVecs = cand
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv"))),
+        Seq("query_id"))
+    val scored = withVecs.select(col("query_id"), col("neighbor_id"),
       round(cosineCol(col("qv"), col("cv"), normCol(col("qv")), normCol(col("cv"))), 9)
         .as("cosine"))
     val w = Window.partitionBy(col("query_id"))

@@ -168,17 +168,25 @@ object Dedup {
   def embeddingNearDupsLsh(emb: DataFrame, dim: Int, threshold: Double = 0.4,
                            bits: Int = 6, tables: Int = 12): DataFrame = {
     import graft.sim.Knn
-    val bucketed = emb.select(col("id"), col("vec"),
+    // candidate generation carries (table, bucket, id) ONLY — the minhash
+    // recipe: vectors must not ride the tables× bucket explode, and the
+    // pair-distinct must run over ids, not float arrays (at dim-768 corpus
+    // scale the old shape pushed tables× corpus bytes through the shuffle
+    // and deduped on array equality)
+    val bucketed = emb.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         Knn.bucketCol(col("vec"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
-    val a = bucketed.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("va"))
-    val b = bucketed.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("vb"))
-    a.join(b, Seq("table", "bucket"))
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    // vectors re-attached once per side, for surviving candidates only
+    val vecs = emb.select(col("id"), col("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("_c", Knn.cosineCol(col("va"), col("vb"),
         Knn.normCol(col("va")), Knn.normCol(col("vb"))))
       .filter(col("_c") >= threshold)

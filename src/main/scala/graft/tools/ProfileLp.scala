@@ -48,20 +48,25 @@ object ProfileLp {
       spark.stop()
       return
     }
+    val cfg = graft.model.RunConfig(
+      batchK = sys.env.getOrElse("SPARK_GRAFT_BATCHK", "4").toInt)
+    val prOnly = sys.env.contains("SPARK_GRAFT_PR_ONLY")
     val t0 = System.nanoTime()
-    val lp = LabelPropagation.run(edges, seeds)
+    val lp = if (prOnly) null else LabelPropagation.run(edges, seeds)
     val lpSec = (System.nanoTime() - t0) / 1e9
+    if (!prOnly) {
     println(s"LP total ${f"$lpSec%.2f"}s iters=${lp.iterations}")
     lp.stats.foreach(s => println(
-      s"  iter=${s.iteration} changed=${s.changed} rows=${s.rows} " +
+      s"  iter=${s.iteration} steps=${s.steps} changed=${s.changed} rows=${s.rows} " +
       s"computeMs=${s.computeMs} checkpointMs=${s.checkpointMs} " +
       s"phases=${s.phases.map(p => s"${p.phase}:${p.wallMs}ms/task${p.taskTimeMs}ms/r${p.shuffleReadBytes}/w${p.shuffleWriteBytes}").mkString(",")}"))
+    }
     val t1 = System.nanoTime()
-    val pr = PageRank.run(edges)
+    val pr = PageRank.run(edges, cfg = cfg)
     val prSec = (System.nanoTime() - t1) / 1e9
     println(s"PR total ${f"$prSec%.2f"}s iters=${pr.iterations}")
     pr.stats.take(8).foreach(s => println(
-      s"  iter=${s.iteration} changed=${s.changed} rows=${s.rows} " +
+      s"  iter=${s.iteration} steps=${s.steps} changed=${s.changed} rows=${s.rows} " +
       s"computeMs=${s.computeMs} " +
       s"phases=${s.phases.map(p => s"${p.phase}:${p.wallMs}ms/task${p.taskTimeMs}ms/r${p.shuffleReadBytes}/w${p.shuffleWriteBytes}").mkString(",")}"))
     spark.stop()

@@ -55,4 +55,55 @@ object GraftSqlShim {
       cdf.queryExecution.toRdd.map(_.copy()), cdf, isStreaming = false)
     classic.Dataset.ofRows(cdf.sparkSession, logical)
   }
+
+  /** A DataFrame whose logical plan is the flat `InMemoryRelation` backing
+    * a persisted `df` — the same node `CacheManager.useCachedData` would
+    * substitute, so execution scans the cache directly.
+    *
+    * Preferred over [[truncatedView]] for iterative loop state: a
+    * `LogicalRDD` leaf breaks `ReuseExchange` for any plan that references
+    * the state twice (self-join deduplication renames the leaf's exprIds,
+    * and `RDDScanExec`'s canonicalization does not normalize its
+    * partitioning/ordering fields, so the renamed twins never compare
+    * equal) — which makes batched multi-superstep plans re-execute every
+    * duplicated subtree. An `InMemoryRelation` leaf canonicalizes
+    * correctly, keeps the cached plan's partitioning, and costs no
+    * materialization job. Falls back to [[truncatedView]] when `df` is not
+    * registered in the cache manager.
+    */
+  def cachedView(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    val analyzed = cdf.queryExecution.analyzed
+    cdf.sparkSession.sharedState.cacheManager.lookupCachedData(cdf) match {
+      // use the relation as-is (not withOutput — our own freshly-persisted
+      // entry always has exprId-identical output); anything else (a
+      // canonically-equal foreign entry) falls back to the RDD view
+      case Some(cd) if cd.cachedRepresentation.output == analyzed.output =>
+        classic.Dataset.ofRows(cdf.sparkSession,
+          stripOrdering(cd.cachedRepresentation))
+      case _ => truncatedView(df)
+    }
+  }
+
+  /** Return the relation with `outputOrdering = Nil`. Two Spark 4.1.2 warts
+    * make a non-empty ordering on a self-joined cached relation fatal:
+    * `InMemoryRelation.newInstance` (applied to one branch by
+    * DeduplicateRelations) remints the output exprIds but passes
+    * outputOrdering through UNCHANGED, and `doCanonicalize`/`withOutput`
+    * then remap ordering attributes through an AttributeMap keyed by the
+    * (new) output only — the stale attribute throws NoSuchElementException.
+    * Loop state is referenced at least twice per superstep (gather +
+    * apply), so its leaf must carry no ordering. The cost is one in-stage
+    * Sort of the state per apply join — exactly what the pre-cache
+    * LogicalRDD view paid too (its canonicalization never exposed ordering).
+    */
+  private def stripOrdering(
+      imr: execution.columnar.InMemoryRelation): execution.columnar.InMemoryRelation = {
+    if (imr.outputOrdering.isEmpty) imr
+    else {
+      val c = imr.copy(outputOrdering = Seq.empty)
+      c.statsOfPlanToCache = imr.statsOfPlanToCache
+      c
+    }
+  }
 }

@@ -94,6 +94,40 @@ class CheckpointSpec extends SparkSpec {
       first.labels.collect().map(v => v.id -> v.label).toMap
   }
 
+  test("resume refuses a checkpoint written for a different input table") {
+    val dir = java.nio.file.Files.createTempDirectory("lp-chk5").toString
+    val seeds = spark.createDataset(Seq(Seed(0L, 100L), Seed(30L, 200L)))
+    val cfg = RunConfig(checkpointDir = Some(dir), checkpointEvery = 1)
+    val edgesA = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(80, 3, seed = 5L).map { case (s, d) => Edge(s, d) })
+    LabelPropagation.run(edgesA, seeds, cfg)
+    // same node universe, different topology → different input fingerprint
+    val edgesB = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(80, 3, seed = 6L).map { case (s, d) => Edge(s, d) })
+    val ex = intercept[IllegalStateException] {
+      LabelPropagation.run(edgesB, seeds, cfg)
+    }
+    ex.getMessage should include("fingerprint")
+  }
+
+  test("ratio-converged run durably checkpoints its final state; resume is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("lp-chk6").toString
+    val edges = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(60, 3, seed = 3L).map { case (s, d) => Edge(s, d) })
+    val seeds = spark.createDataset(Seq(Seed(0L, 100L), Seed(30L, 200L)))
+    // loose ratio: stops while changed > 0 — the absolute rule alone would
+    // neither exit nor gate the checkpoint write here
+    val cfg = RunConfig(checkpointDir = Some(dir), convergenceRatio = Some(0.9))
+    val first = LabelPropagation.run(edges, seeds, cfg)
+    first.converged shouldBe true
+    val Some((_, json)) = Superstep.latestManifest(spark, dir)
+    json should include("\"converged\":true")
+    val second = LabelPropagation.run(edges, seeds, cfg)
+    second.iterations shouldBe 0 // did NOT re-enter the loop and drift
+    second.labels.collect().map(v => v.id -> v.label).toMap shouldBe
+      first.labels.collect().map(v => v.id -> v.label).toMap
+  }
+
   test("zero localCheckpointEvery is rejected up front") {
     val edges = spark.createDataset(Seq(Edge(0, 1)))
     val seeds = spark.createDataset(Seq(Seed(0, 1)))

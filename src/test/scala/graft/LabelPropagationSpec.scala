@@ -181,6 +181,41 @@ class LabelPropagationSpec extends SparkSpec {
       strict.labels.collect().map(v => v.id -> v.label).toMap
   }
 
+  test("declared numNodes smaller than an edge endpoint or seed fails fast") {
+    // dense state = range(numNodes) + left-outer apply: out-of-range votes
+    // would vanish silently, so init asserts the universe covers the input
+    val ds = spark.createDataset(Seq(Edge(0L, 1L), Edge(1L, 9L)))
+    val sd = spark.createDataset(Seq(Seed(0L, 100L)))
+    val ex = intercept[IllegalArgumentException] {
+      LabelPropagation.run(ds, sd, numNodes = Some(5L))
+    }
+    ex.getMessage should include("out-of-range")
+    val ex2 = intercept[IllegalArgumentException] {
+      LabelPropagation.run(ds, spark.createDataset(Seq(Seed(99L, 100L))),
+        numNodes = Some(10L))
+    }
+    ex2.getMessage should include("out-of-range")
+    // exact cover is fine; labels flow dst→src here, so only the seed at 0
+    // (whose out-neighbour chain never carries a label back) stays labeled
+    LabelPropagation.run(ds, sd, numNodes = Some(10L))
+      .labels.count() shouldBe 1L
+  }
+
+  test("LP never batches supersteps (two-reference step shape re-executes)") {
+    // LabelPropagation forces batchK = 1: its step's two state references
+    // (gather projection, apply join) do not unify under ReuseExchange, so
+    // a composed job re-executes prior steps. PageRankSpec carries the
+    // positive batching-equivalence test for the step shape that composes.
+    val edges = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(150, 3, seed = 21L)
+        .map { case (s, d) => Edge(s, d) })
+    val sd = spark.createDataset(Seq(Seed(0L, 100L), Seed(75L, 200L)))
+    val res = LabelPropagation.run(edges, sd,
+      RunConfig(batchK = 4)) // LP overrides even an explicit batch request
+    res.converged shouldBe true
+    all(res.stats.map(_.steps)) shouldBe 1
+  }
+
   test("MajorityVoteAgg (UDAF surface) == the codegen max-struct vote plan") {
     import org.apache.spark.sql.functions._
     val rows = for { s <- 0L until 60L; j <- 0 until 7 } yield

@@ -73,4 +73,18 @@ class PageRankSpec extends SparkSpec {
     res.sumRank shouldBe 3.0 +- 1e-9
     res.maxRank shouldBe 1.0 +- 1e-6
   }
+
+  test("superstep batching: bit-identical ranks and iterations to batchK=1") {
+    // composed no-op tail steps past convergence must not perturb anything:
+    // same arithmetic per executed step → exact double equality, and the
+    // per-step observations recover the exact convergence iteration
+    val edges = spark.createDataset(
+      SyntheticGraph.randomEdgesLocal(120, 3, seed = 31L)
+        .map { case (s, d) => Edge(s, d) })
+    val batched = PageRank.run(edges, cfg = RunConfig(batchK = 4))
+    val serial = PageRank.run(edges) // default batchK = 1
+    batched.iterations shouldBe serial.iterations
+    batched.ranks.collect().map(r => r.id -> r.rank).toMap shouldBe
+      serial.ranks.collect().map(r => r.id -> r.rank).toMap
+  }
 }

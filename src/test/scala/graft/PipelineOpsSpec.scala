@@ -219,6 +219,42 @@ class PipelineOpsSpec extends SparkSpec {
     (lsh.size.toDouble / expected.size) should be >= 0.8
   }
 
+  test("id-only LSH candidate generation == the vector-riding shape, pair for pair") {
+    // r3 reshape fixture: candidate generation now carries ids only (vectors
+    // re-attached once); this replays the superseded shape — vectors riding
+    // the tables× explode, distinct over (ids, float arrays) — and asserts
+    // byte-identical output
+    val dim = 16
+    val base = syntheticVectors(90, dim)
+    val planted = base.take(10).map { case (i, v) =>
+      (1000L + i, v.zipWithIndex.map { case (x, j) =>
+        x + ((graft.functions.SplitMix64Expr.mix(i * 53 + j) % 100) / 2000.0f)
+      })
+    }
+    val emb = (base ++ planted).toDF("id", "vec")
+    val (bits, tables, t) = (6, 12, 0.9)
+    val bucketed = emb.select(col("id"), col("vec"),
+      posexplode(array((0 until tables).map(tb =>
+        Knn.bucketCol(col("vec"), dim, bits, tb)): _*)).as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("va"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vb"))
+    val oldShape = a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct()
+      .withColumn("_c", Knn.cosineCol(col("va"), col("vb"),
+        Knn.normCol(col("va")), Knn.normCol(col("vb"))))
+      .filter(col("_c") >= t)
+      .select(col("id_a"), col("id_b"), round(col("_c"), 2).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val newShape = text.Dedup.embeddingNearDupsLsh(emb, dim, t, bits, tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    newShape shouldBe oldShape
+    newShape.size should be >= 10 // the planted near-dups collide somewhere
+  }
+
   test("multimodal: feature extraction + frame sampling plumbing") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media).collect()

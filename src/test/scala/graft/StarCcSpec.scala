@@ -57,4 +57,49 @@ class StarCcSpec extends SparkSpec {
     // diameter is n-1 = 19999; star contraction must land well under 2·log2(n)+5
     res.iterations should be <= 24
   }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
+  test("star CC resumes from a mid-run checkpoint to the identical result") {
+    val dir = java.nio.file.Files.createTempDirectory("star-chk").toString
+    val n = 3000L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val ds = spark.createDataset(path.map { case (s, d) => Edge(s, d) })
+    val cfg = RunConfig(checkpointDir = Some(dir), checkpointEvery = 2)
+    val full = ConnectedComponents.runStar(ds, cfg = cfg)
+    full.iterations should be > 2
+    val expected = full.components.collect().map(c => c.id -> c.component).toMap
+
+    // crash simulation: drop every checkpoint but the earliest
+    val iters = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("iter=")).map(_.drop(5).toInt).sorted
+    iters.filter(_ > iters.min).foreach(k => rm(new java.io.File(s"$dir/iter=$k")))
+
+    val resumed = ConnectedComponents.runStar(ds, cfg = cfg)
+    resumed.iterations should be < full.iterations // only the remaining rounds
+    resumed.componentCount shouldBe 1L
+    resumed.components.collect().map(c => c.id -> c.component).toMap shouldBe expected
+
+    // a converged manifest short-circuits the loop entirely
+    val again = ConnectedComponents.runStar(ds, cfg = cfg)
+    again.iterations shouldBe 0
+    again.components.collect().map(c => c.id -> c.component).toMap shouldBe expected
+  }
+
+  test("star CC resume refuses a checkpoint from a different input graph") {
+    val dir = java.nio.file.Files.createTempDirectory("star-chk2").toString
+    val cfg = RunConfig(checkpointDir = Some(dir), checkpointEvery = 1)
+    val a = spark.createDataset((0L until 200L).sliding(2).toSeq
+      .map(w => Edge(w.head, w.last)))
+    ConnectedComponents.runStar(a, cfg = cfg)
+    val b = spark.createDataset((0L until 200L).sliding(2).toSeq
+      .map(w => Edge(w.last * 2, w.head * 2))) // different canonical edge set
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.runStar(b, cfg = cfg)
+    }
+    ex.getMessage should include("fingerprint")
+  }
 }
