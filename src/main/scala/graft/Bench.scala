@@ -37,8 +37,16 @@ object Bench {
     * value + time.
     */
   val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-  def timedBest[T](f: => T): Timed[T] =
-    (1 to math.max(1, reps)).map(_ => timed(f)).minBy(_.sec)
+  /** `cleanup` releases a LOSING rep's result (unpersist its cached
+    * datasets) so reps don't accumulate retired cache entries that skew
+    * later measurements; the winning rep's value is returned live.
+    */
+  def timedBest[T](f: => T, cleanup: T => Unit = (_: T) => ()): Timed[T] = {
+    val runs = (1 to math.max(1, reps)).map(_ => timed(f))
+    val best = runs.minBy(_.sec)
+    runs.foreach(r => if (r ne best) cleanup(r.value))
+    best
+  }
 
   def session(cpus: Int, app: String): SparkSession = {
     val s = SparkSession.builder()
@@ -82,11 +90,15 @@ object Bench {
   def graphBench(spark: SparkSession, n: Long, density: Int): GraphRun = {
     val edges = SyntheticGraph.randomEdges(spark, n, density)
     val seeds = SyntheticGraph.seeds(spark, n)
-    val lp = timedBest(LabelPropagation.run(edges, seeds))
+    val lp = timedBest(LabelPropagation.run(edges, seeds),
+      (r: LabelPropagation.LpResult) => r.release())
     val lpFp = ConnectedComponents.fingerprint64(lp.value.labels.toDF())
-    val pr = timedBest(PageRank.run(edges))
+    lp.value.release()
+    val pr = timedBest(PageRank.run(edges),
+      (r: PageRank.PrResult) => r.release())
     val prFp = ConnectedComponents.fingerprint64(
       pr.value.ranks.toDF().select(col("id"), round(col("rank"), 6).as("r")))
+    pr.value.release()
     // IterStats.computeMs is already the per-superstep share of batched jobs
     def medIter(stats: List[Superstep.IterStats]): Double =
       median(stats.map(_.computeMs)) / 1e3
@@ -110,14 +122,19 @@ object Bench {
     val e = Tables.edges(spark, sfDir).cache()
     val nEdges = e.count()
     val sd = Tables.seeds(spark, sfDir)
-    val lp = timedBest(LabelPropagation.run(e, sd))
+    val lp = timedBest(LabelPropagation.run(e, sd),
+      (r: LabelPropagation.LpResult) => r.release())
     results += "lp_derived" -> lp.sec
-    val pr = timedBest(PageRank.run(e))
+    val pr = timedBest(PageRank.run(e), (r: PageRank.PrResult) => r.release())
     results += "pagerank_derived" -> pr.sec
-    val cc = timedBest(ConnectedComponents.run(e))
+    val cc = timedBest(ConnectedComponents.run(e),
+      (r: ConnectedComponents.CcResult) => r.release())
     results += "cc_derived" -> cc.sec
-    val tc = timedBest(TriangleCount.run(e))
+    cc.value.release()
+    val tc = timedBest(TriangleCount.run(e),
+      (r: TriangleCount.TcResult) => r.release())
     results += "triangles_derived" -> tc.sec
+    tc.value.release()
 
     // synthetic reference-topology graph, north-rule metric
     val g = graphBench(spark, benchNodes, 10)
@@ -141,7 +158,8 @@ object Bench {
     // rounds; star contraction lands in ~log² rounds)
     val pathEdges = spark.range(999999L)
       .select($"id".as("src"), ($"id" + 1L).as("dst")).as[Edge]
-    val ccStar = timedBest(ConnectedComponents.runStar(pathEdges))
+    val ccStar = timedBest(ConnectedComponents.runStar(pathEdges),
+      (r: ConnectedComponents.CcResult) => r.release())
     results += "cc_star_path1m" -> ccStar.sec
     extras += "cc_star_path1m_rounds" -> ccStar.value.iterations.toString
     extras += "cc_star_path1m_components" -> ccStar.value.componentCount.toString
@@ -165,6 +183,8 @@ object Bench {
     val lpStats = lp.value.stats
     extras += "lp_derived_gather_med_ms" -> f"${medPhase(lpStats, "gather")}%.0f"
     extras += "lp_derived_apply_med_ms" -> f"${medPhase(lpStats, "apply")}%.0f"
+    // all remaining reads were driver-side stats — free the cached results
+    lp.value.release(); pr.value.release(); ccStar.value.release()
 
     // documents pipeline sweep
     val docs = Tables.table(spark, sfDir, "documents").cache()
@@ -189,7 +209,8 @@ object Bench {
       lshListener.drainAs("warm") // discard cache-build stages
       val t = timedBest(Dedup.embeddingNearDupsLsh(emb, embDim, 0.40).count())
       val bytes = lshListener.drainAs("lsh").map(_.shuffleWriteBytes).sum
-      extras += "embedding_lsh_shuffle_write_mb" -> f"${bytes / 1e6 / reps}%.1f"
+      extras += "embedding_lsh_shuffle_write_mb" ->
+        f"${bytes / 1e6 / math.max(1, reps)}%.1f"
       t
     } finally spark.sparkContext.removeSparkListener(lshListener)
     results += "embedding_neardups_lsh" -> embLsh.sec

@@ -487,11 +487,11 @@ object SparkEntry {
     // BFS min-hop levels via bounded recursive CTE: each recursion step
     // advances the frontier one level, UNION dedups (id, lvl) pairs, and
     // min(lvl) per id is the exact BFS level once the bound (100) exceeds
-    // the graph's eccentricity from the source. SSSP has NO DuckDB oracle:
-    // with real-valued path sums the recursive UNION never dedups and the
-    // enumeration of distinct path sums explodes (DuckDB 1.0 lacks the
-    // keyed recursive-CTE fixpoint of later versions) — SSSP stays on the
-    // Bellman-Ford serial-oracle differential in GraphAlgoSpec.
+    // the graph's eccentricity from the source. SSSP's oracle (`v5_sssp`
+    // below) avoids the recursive-UNION explosion (real-valued path sums
+    // never dedup) by a fixed 40-round Bellman-Ford relaxation unroll over
+    // MATERIALIZED CTE stages instead; the serial Bellman-Ford differential
+    // in GraphAlgoSpec double-covers it.
     "v4_bfs" ->
       s"""WITH RECURSIVE e AS (
             SELECT DISTINCT src, dst FROM ($edgesSql)

@@ -22,7 +22,9 @@ object ConnectedComponents {
       components: Dataset[VertexComponent],
       iterations: Int,
       componentCount: Long,
-      stats: List[Superstep.IterStats])
+      stats: List[Superstep.IterStats],
+      // frees the persisted components once the result is consumed
+      release: () => Unit = () => ())
 
   def run(edges: Dataset[Edge], cfg: RunConfig = RunConfig(maxIter = Int.MaxValue)): CcResult = {
     val spark = edges.sparkSession
@@ -60,7 +62,10 @@ object ConnectedComponents {
       .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
     val nComp = comps.agg(countDistinct($"component")).head().getLong(0)
     und.unpersist(blocking = false)
-    CcResult(comps, res.iterations, nComp, res.stats)
+    // comps is persisted + materialized — free the loop state behind it
+    res.release()
+    CcResult(comps, res.iterations, nComp, res.stats,
+      release = () => comps.unpersist(blocking = false))
   }
 
   /** Weakly-connected components by alternating large-star / small-star
@@ -97,8 +102,12 @@ object ConnectedComponents {
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.join.preferSortMergeJoin" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val listener = new Superstep.PhaseListener
+    // job-group scoping, same as Superstep.loop: concurrent loops in one
+    // session keep disjoint phase windows
+    val loopId = java.util.UUID.randomUUID().toString
+    val listener = new Superstep.PhaseListener(Some(loopId))
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setLocalProperty(Superstep.LoopIdProperty, loopId)
     try {
       val vertices = edges.select($"src".as("id"))
         .union(edges.select($"dst".as("id"))).distinct()
@@ -124,6 +133,7 @@ object ConnectedComponents {
       var rounds = rounds0
       var converged = resumedConverged
       var fp = if (converged) (0L, 0L) else fingerprintAndCount(g)
+      GraftSqlShim.waitListenerBus(spark)
       listener.drainAs("init") // init/resume stages are not round phases
       var stats = List.empty[Superstep.IterStats]
       while (!converged && rounds < maxRounds) {
@@ -158,6 +168,7 @@ object ConnectedComponents {
         val ssB = GraftSqlShim.truncatedView(GraftSqlShim.bind(loopSession, ss))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val newFp = fingerprintAndCount(ssB) // materializes the persisted set
+        GraftSqlShim.waitListenerBus(spark)
         val phases = listener.drainAs("star")
         // logical-plan truncation every round (each half-step references its
         // input twice → untruncated plans double per round); a real
@@ -169,6 +180,7 @@ object ConnectedComponents {
             lc.persist(StorageLevel.MEMORY_AND_DISK)
             (GraftSqlShim.cachedView(lc), lc)
           } else (GraftSqlShim.cachedView(ssB), ssB)
+        GraftSqlShim.waitListenerBus(spark)
         listener.drainAs("lc") // discard the localCheckpoint job's stages
         rounds += 1
         converged = newFp == fp
@@ -181,6 +193,7 @@ object ConnectedComponents {
               changed = if (converged) 0L else newFp._2, rows = newFp._2,
               state = view, converged = converged, threshold = 0L,
               phases = phases, inputFingerprint = inputFp)
+            GraftSqlShim.waitListenerBus(spark)
             listener.drainAs("ckpt") // keep next round's phases clean
           }
         }
@@ -201,8 +214,12 @@ object ConnectedComponents {
       val nComp = comps.agg(countDistinct($"component")).head().getLong(0)
       backing.unpersist(blocking = false)
       vertices.unpersist(blocking = false)
-      CcResult(comps, rounds - rounds0, nComp, stats.reverse)
-    } finally spark.sparkContext.removeSparkListener(listener)
+      CcResult(comps, rounds - rounds0, nComp, stats.reverse,
+        release = () => comps.unpersist(blocking = false))
+    } finally {
+      spark.sparkContext.setLocalProperty(Superstep.LoopIdProperty, null)
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   private def fingerprintAndCount(df: DataFrame): (Long, Long) = {

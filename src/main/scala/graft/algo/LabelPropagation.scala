@@ -53,7 +53,9 @@ object LabelPropagation {
       iterations: Int,
       converged: Boolean,
       stats: List[Superstep.IterStats],
-      edgeCount: Long)
+      edgeCount: Long,
+      // frees the loop state backing `labels` once the result is consumed
+      release: () => Unit = () => ())
 
   /** Run LP over a directed edge table. `seeds` may be empty → unsupervised.
     *
@@ -72,10 +74,20 @@ object LabelPropagation {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // Under a declared universe the reference TOLERATES out-of-range srcs
+    // and seeds: build_csr_from_edges silently skips edges with src >= n
+    // (lpst/src/lib.rs:49-71) and init_labels silently skips seeds with
+    // node >= n (lib.rs:158-172) — matched here so the driver contract is
+    // identical. dst >= n is NOT tolerated: see the guard at init below.
+    val boundedEdges = numNodes match {
+      case Some(n) => edges.filter($"src" < n)
+      case None => edges
+    }
+
     // adjacency at rest: duplicate edges collapsed to a weight, partitioned
     // by dst once so every gather join reuses the same exchange; with
     // salting enabled, hub dst keys are split across hubSaltK partitions
-    val packedRaw = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    val packedRaw = boundedEdges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
     val saltPlan: Option[graft.graph.SkewJoin.SaltPlan] =
       saltK(cfg).flatMap(k => graft.graph.SkewJoin.plan(
         packedRaw, "dst", "src", k, cfg.hubDegreeThreshold))
@@ -83,9 +95,15 @@ object LabelPropagation {
       packedRaw.repartition($"dst").persist(StorageLevel.MEMORY_AND_DISK))
     val edgeCount = packed.agg(sum($"w")).head().getLong(0)
 
-    val dedupedSeeds = graft.io.EdgeTsv.dedupSeeds(seeds)
+    val dedupedSeedsAll = graft.io.EdgeTsv.dedupSeeds(seeds)
+    // unsupervised ⇔ the RAW seed map is empty (lib.rs:160 checks
+    // is_empty() BEFORE any range filtering): seeds that are all
+    // out-of-range leave a seeded run with zero effective seeds — every
+    // label stays UNKNOWN — they do not flip the run to unsupervised.
+    val unsupervised = dedupedSeedsAll.isEmpty
+    val dedupedSeeds = numNodes.fold(dedupedSeedsAll)(n =>
+        dedupedSeedsAll.filter($"node" < n))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val unsupervised = dedupedSeeds.isEmpty
 
     // DENSE state: one row per vertex from the start, null label = UNKNOWN.
     // This keeps the apply join LEFT-outer (state side streams, its `id`
@@ -96,17 +114,16 @@ object LabelPropagation {
     val vertices = numNodes match {
       // declared universe covers isolated ids too (lpst init_labels)
       case Some(n) =>
-        // fail fast on out-of-range ids: the dense state is range(n) and
-        // the apply join left-outer, so votes for ids >= n would otherwise
-        // vanish silently (one cheap agg over the persisted adjacency)
-        val mx = packed.agg(coalesce(greatest(max($"src"), max($"dst")), lit(-1L)))
-          .head().getLong(0)
-        val mxSeed =
-          if (unsupervised) -1L
-          else dedupedSeeds.agg(coalesce(max($"node"), lit(-1L))).head().getLong(0)
-        require(math.max(mx, mxSeed) < n,
-          s"numNodes=$n but an edge endpoint or seed references id " +
-          s"${math.max(mx, mxSeed)} — out-of-range vertices would be dropped")
+        // fail fast on out-of-range DESTINATIONS only (srcs/seeds >= n were
+        // silently dropped above, matching the reference): the reference
+        // stores any dst in the CSR and its gather indexes labels[dst] —
+        // dst >= n panics there (lib.rs:200-204); here the dense range(n)
+        // state + left-outer apply would swallow those votes silently, so
+        // the panic becomes one cheap agg over the persisted adjacency.
+        val mxDst = packed.agg(coalesce(max($"dst"), lit(-1L))).head().getLong(0)
+        require(mxDst < n,
+          s"numNodes=$n but an edge destination references out-of-range id " +
+          s"$mxDst — the reference panics on gather for dst >= num_nodes")
         spark.range(n).toDF("id")
       case None => packed.select($"src".as("id"))
         .union(packed.select($"dst".as("id")))
@@ -175,9 +192,11 @@ object LabelPropagation {
     // job re-executes each prior step's gather/vote up to 3× (measured:
     // 4-step batch 29.7 s vs 4 × 2.4 s unbatched at 100k nodes), while LP
     // converges in ≤ ~10 supersteps at every size measured, so there is
-    // almost no fixed cost to amortize. PageRank's step DOES compose into
-    // a chained exchange-reusing job (observed 6 stages for 4 steps), so
-    // batching stays on there.
+    // almost no fixed cost to amortize. PageRank batching was ALSO measured
+    // a regression (2.3×: 101.8 s vs 44.7 s at 100k nodes × 75 steps —
+    // ReuseExchange never collapses the duplicated state subtrees because
+    // self-join dedup remints exprIds), so Superstep.DefaultBatchK = 1
+    // everywhere; see BENCH.md §2.
     val res = Superstep.loopResumable(
       init, step, cfg.copy(batchK = 1), algo = "lp", inputFingerprint = inputFp)
 
@@ -186,7 +205,8 @@ object LabelPropagation {
     packed.unpersist(blocking = false)
     saltPlan.foreach(_.hotKeys.unpersist(blocking = false))
     dedupedSeeds.unpersist(blocking = false)
-    LpResult(labelsOut, res.iterations, res.converged, res.stats, edgeCount)
+    LpResult(labelsOut, res.iterations, res.converged, res.stats, edgeCount,
+      release = res.release)
   }
 
   /** Label histogram report (`ow-lp/src/lib.rs:336-356`): 20 smallest-id

@@ -40,7 +40,9 @@ object PageRank {
       numVertices: Long,
       maxRank: Double,
       sumRank: Double,
-      stats: List[Superstep.IterStats])
+      stats: List[Superstep.IterStats],
+      // frees the persisted ranks once the result is consumed
+      release: () => Unit = () => ())
 
   def run(
       edges: Dataset[Edge],
@@ -115,7 +117,11 @@ object PageRank {
     contrib.unpersist(blocking = false)
     saltPlan.foreach(_.hotKeys.unpersist(blocking = false))
     vertices.unpersist(blocking = false)
+    // ranks is persisted + materialized above — the loop state behind it
+    // can be freed now rather than leaking one retired state per run
+    res.release()
     PrResult(ranks, res.iterations, numVertices,
-      agg.getDouble(0), agg.getDouble(1), res.stats)
+      agg.getDouble(0), agg.getDouble(1), res.stats,
+      release = () => ranks.unpersist(blocking = false))
   }
 }

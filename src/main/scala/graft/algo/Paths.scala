@@ -14,6 +14,15 @@ import graft.model._
   * each superstep joins only the frontier (vertices improved last round)
   * against the edge table, so the shuffle volume per round is proportional
   * to the frontier's out-degree sum, not the whole graph.
+  *
+  * Both programs run on [[Superstep.loopResumable]] (r4): with
+  * `cfg.checkpointDir` set, any superstep is durably resumable
+  * mid-convergence — the checkpointed state carries the `_chg` frontier
+  * column, so a resumed run relaxes exactly the frontier the crashed run
+  * would have. The manifest records an input fingerprint of
+  * (adjacency ⊕ source), and resume refuses a checkpoint taken against a
+  * different edge table OR a different source vertex (same-table/different-
+  * source checkpoints are distinct runs, not resumable state).
   */
 object Paths {
 
@@ -22,21 +31,36 @@ object Paths {
       iterations: Int,
       reachable: Long,
       maxDist: Double,
-      stats: List[Superstep.IterStats])
+      stats: List[Superstep.IterStats],
+      converged: Boolean = true,
+      // frees the loop state backing `dists` once the result is consumed
+      release: () => Unit = () => ())
 
-  /** BFS levels from `source`; `maxLevels` caps rounds (reference default 500). */
-  def bfs(edges: Dataset[Edge], source: Long, maxLevels: Int = 500): PathResult = {
+  /** BFS levels from `source`; `maxLevels` caps rounds (reference default
+    * 500). `cfg` supplies the durable-checkpoint / convergence knobs;
+    * its `maxIter` is overridden by `maxLevels` (the reference's cap).
+    */
+  def bfs(edges: Dataset[Edge], source: Long, maxLevels: Int = 500,
+          cfg: RunConfig = RunConfig()): PathResult = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select($"src", $"dst", lit(1.0).as("weight")).as[WEdge]
-    sssp(e, source, maxLevels)
+    run(e, source, cfg.copy(maxIter = maxLevels), algo = "bfs")
   }
 
   /** SSSP from `source` over weighted edges (missing weights already
     * defaulted to 1.0 by the caller/parser, `sssp_graphx_shell.scala:30-39`).
     */
   def sssp(edges: Dataset[WEdge], source: Long,
-           maxIter: Int = Int.MaxValue): PathResult = {
+           maxIter: Int = Int.MaxValue): PathResult =
+    run(edges, source, RunConfig(maxIter = maxIter), algo = "sssp")
+
+  /** SSSP with the full run config (checkpointing, convergence knobs). */
+  def sssp(edges: Dataset[WEdge], source: Long, cfg: RunConfig): PathResult =
+    run(edges, source, cfg, algo = "sssp")
+
+  private def run(edges: Dataset[WEdge], source: Long,
+                  cfg: RunConfig, algo: String): PathResult = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -49,13 +73,15 @@ object Paths {
     // left-outer so the state's partitioning survives each superstep (a
     // full-outer join on a grow-as-reached state would force two state
     // re-exchanges per superstep — see LabelPropagation).
-    val vertices = packed.select($"src".as("id"))
-      .union(packed.select($"dst".as("id")))
-      .union(spark.range(1).select(lit(source).as("id"))) // isolated source
-      .distinct()
-    val init: DataFrame = vertices.select(
-      $"id",
-      when($"id" === source, 0.0).otherwise(Double.PositiveInfinity).as("dist"))
+    def init: DataFrame = {
+      val vertices = packed.select($"src".as("id"))
+        .union(packed.select($"dst".as("id")))
+        .union(spark.range(1).select(lit(source).as("id"))) // isolated source
+        .distinct()
+      vertices.select(
+        $"id",
+        when($"id" === source, 0.0).otherwise(Double.PositiveInfinity).as("dist"))
+    }
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier =
@@ -71,7 +97,14 @@ object Paths {
           coalesce($"m" < $"dist", lit(false)).as("_chg"))
     }
 
-    val res = Superstep.loop(init, step, maxIter, 0L, algo = "sssp")
+    // input identity for checkpoint manifests: adjacency ⊕ mixed source id
+    // (a different source is a different run over the same table — the
+    // plain id would cancel against nothing, so it goes through splitmix64)
+    val inputFp = cfg.checkpointDir.map(_ =>
+      ConnectedComponents.fingerprint64(packed.toDF()) ^
+        graft.functions.SplitMix64Expr.mix(source))
+    val res = Superstep.loopResumable(init, step, cfg, algo = algo,
+      inputFingerprint = inputFp)
     // absent-row output contract: unreachable vertices are not emitted
     val dists = res.state.filter($"dist" < Double.PositiveInfinity)
       .select($"id", $"dist").as[VertexDist]
@@ -79,6 +112,7 @@ object Paths {
     val agg = dists.agg(count(lit(1)), max($"dist")).head()
     packed.unpersist(blocking = false)
     PathResult(dists, res.iterations, agg.getLong(0),
-      if (agg.isNullAt(1)) 0.0 else agg.getDouble(1), res.stats)
+      if (agg.isNullAt(1)) 0.0 else agg.getDouble(1), res.stats, res.converged,
+      release = res.release)
   }
 }

@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -79,7 +79,12 @@ object Superstep {
       state: DataFrame,
       iterations: Int,
       converged: Boolean,
-      stats: List[IterStats])
+      stats: List[IterStats],
+      // frees the persisted/localCheckpointed blocks backing `state`; call
+      // once the result has been consumed (benchmark reps otherwise
+      // accumulate one retired state per run). After release() the state
+      // may be unrecomputable (localCheckpoint truncates lineage).
+      release: () => Unit = () => ())
 
   /** One superstep: previous state → new state carrying a boolean `_chg`
     * column (true on every row whose vertex value changed this step). The
@@ -89,15 +94,39 @@ object Superstep {
     */
   type Step = (DataFrame, Int) => DataFrame
 
+  /** The thread-local SparkContext property that tags every job a loop
+    * submits with its owning loop's id (local properties are inherited by
+    * the submitting thread's jobs only, so concurrent loops on different
+    * driver threads tag disjoint job sets).
+    */
+  private[graft] val LoopIdProperty = "graft.loop.id"
+
   /** Collects per-stage windows; drained once per superstep. Stage events
     * for the materializing job are flushed before `Observation.get`
     * returns (same listener queue), so the drain is race-free for the job
     * it attributes.
+    *
+    * `loopId`: when set, only stages belonging to jobs tagged with this
+    * loop's [[LoopIdProperty]] are collected — a SparkListener is
+    * SparkContext-global, so without the scope two concurrent loops in one
+    * session would cross-pollute each other's phase windows. `None`
+    * collects everything (ad-hoc measurement, e.g. Bench's LSH
+    * shuffle-byte receipt).
     */
-  private[graft] final class PhaseListener extends SparkListener {
+  private[graft] final class PhaseListener(loopId: Option[String] = None)
+      extends SparkListener {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, PhaseWindow)]
+    // stage ids owned by this loop's jobs (only consulted when loopId is set)
+    private val owned = scala.collection.mutable.HashSet.empty[Int]
+    override def onJobStart(ev: SparkListenerJobStart): Unit =
+      loopId.foreach { id =>
+        if (Option(ev.properties).exists(p => p.getProperty(LoopIdProperty) == id))
+          owned.synchronized { ev.stageInfos.foreach(owned += _.stageId) }
+      }
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
       val si = ev.stageInfo
+      if (loopId.isDefined && !owned.synchronized(owned.contains(si.stageId)))
+        return
       val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s)
         .getOrElse(0L)
       val m = si.taskMetrics
@@ -209,11 +238,19 @@ object Superstep {
       // data size was measured SLOWER at local[32] (PR 1M edges × 75
       // steps: 48 s at 8-way vs 41 s at 32-way, interleaved min-of-2).
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val listener = new PhaseListener
+    // every job this loop submits (supersteps, localCheckpoints, durable
+    // checkpoint writes) is tagged with a unique loop id via a thread-local
+    // SparkContext property, and the listener collects ONLY those stages —
+    // concurrent loops in one session keep disjoint phase windows
+    val loopId = java.util.UUID.randomUUID().toString
+    val listener = new PhaseListener(Some(loopId))
     session.sparkContext.addSparkListener(listener)
+    session.sparkContext.setLocalProperty(LoopIdProperty, loopId)
 
     // initial state: materialized once, lineage truncated
     var state = GraftSqlShim.bind(loopSession, init).localCheckpoint(eager = true)
+    GraftSqlShim.waitListenerBus(session)
+    listener.drain() // init stages are not superstep phases
     // the dataset owning `state`'s cached/checkpointed blocks (a truncated
     // view is only a window onto its backing iteration's cache)
     var backing: DataFrame = state
@@ -278,6 +315,7 @@ object Superstep {
           f"count=${(tCounted - tBuilt) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms " +
           s"changed=${perStep.map(_._1).mkString(",")}")
       }
+      GraftSqlShim.waitListenerBus(session)
       val phases = listener.drain(k)
 
       // logical lineage truncation every step is free (a flat
@@ -301,6 +339,7 @@ object Superstep {
           }
         } else if (rddLeaf) (GraftSqlShim.truncatedView(next), next)
         else (GraftSqlShim.cachedView(next), next)
+      GraftSqlShim.waitListenerBus(session)
       listener.drain() // discard the localCheckpoint job's stages, if any
       if (loopTimers)
         System.err.println(f"[loop] iter=$doneIter total=${(System.nanoTime() - t0) / 1e6}%.0fms")
@@ -332,6 +371,7 @@ object Superstep {
           // the parquet write + per-partition count are their own jobs:
           // drain their stages so the NEXT iteration's phase windows stay
           // attributed to its own superstep job only
+          GraftSqlShim.waitListenerBus(session)
           listener.drain()
         }
       }
@@ -346,18 +386,25 @@ object Superstep {
       // from its observation; computeMs is the per-step share of the
       // (possibly batched) job; `steps` records the job's batch width;
       // job-level phases + checkpoint time ride the batch's last entry
+      // divide by effK (not k) so per-step computeMs sums to the job's wall
+      // time even when convergence truncates the batch mid-job
       for (j <- 0 until effK) {
         val (c, r) = perStep(j)
         val last = j == effK - 1
-        stats ::= IterStats(iter - effK + j + 1, c, r, computeMs / k,
+        stats ::= IterStats(iter - effK + j + 1, c, r, computeMs / effK,
           if (last) checkpointMs else 0L, if (last) phases else Nil, k)
       }
-    } finally session.sparkContext.removeSparkListener(listener)
+    } finally {
+      session.sparkContext.setLocalProperty(LoopIdProperty, null)
+      session.sparkContext.removeSparkListener(listener)
+    }
     // rebind the final state to the CALLER's session: downstream one-shot
     // queries (result aggregations, orderBys, sinks) must plan under the
     // caller's confs, not the loop-pinned ones (AQE off, broadcast ban)
+    val finalBacking = backing
     LoopResult(GraftSqlShim.bind(session, state.drop("_chg")),
-      iter - startIter, converged, stats.reverse)
+      iter - startIter, converged, stats.reverse,
+      release = () => finalBacking.unpersist(blocking = false))
   }
 
   /** [[loop]] with automatic resume: when `cfg.checkpointDir` holds a

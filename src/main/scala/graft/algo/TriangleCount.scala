@@ -26,7 +26,9 @@ object TriangleCount {
 
   final case class TcResult(
       counts: Dataset[VertexTriangles],
-      totalTriangles: Long)
+      totalTriangles: Long,
+      // frees the persisted per-vertex counts once the result is consumed
+      release: () => Unit = () => ())
 
   /** Per-vertex triangle counts; includes zero rows for triangle-free
     * vertices. Vertex ids must fit in unsigned 32 bits (reference id domain,
@@ -84,6 +86,6 @@ object TriangleCount {
     counts.count()
     oriented.unpersist(blocking = false)
     triangles.unpersist(blocking = false)
-    TcResult(counts, total)
+    TcResult(counts, total, release = () => counts.unpersist(blocking = false))
   }
 }

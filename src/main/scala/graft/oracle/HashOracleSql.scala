@@ -251,8 +251,11 @@ object HashOracleSql {
           SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS tk
           FROM documents),
         toks AS MATERIALIZED (
-          SELECT doc_id, tk[g.i] AS tok, g.i AS pos
-          FROM tkl JOIN generate_series(1, 400) g(i) ON g.i <= len(tk)),
+          -- unnest + generate_subscripts expand in lockstep: no token-count
+          -- cap (an earlier generate_series(1, 400) build silently dropped
+          -- shingles of longer documents in the oracle only)
+          SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+          FROM tkl),
         sh3 AS MATERIALIZED (
           SELECT doc_id, tok AS t0,
                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,

@@ -205,11 +205,19 @@ object Dedup {
     withJaccard(withB).select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash signatures per document. */
+  /** 64-bit SimHash signatures per document. Token hashing happens inside
+    * the native [[graft.functions.SimHashTokens64Expr]] loop — the r3
+    * `transform(tokens, xxhash64)` step evaluated one interpreted lambda
+    * frame per token per document. Honest measurement (BENCH.md §6): this
+    * path's wall time is dominated by the regexp tokenization, so the
+    * reshape is ~1.0× here at 5M docs — it removes the last interpreted
+    * lambda from the corpus scan (shape hygiene), unlike the 3× win on the
+    * triple-lambda analyze path.
+    */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      SimHash64Expr.simhash64(
-        transform(TextAnalysis.tokensCol(col("text")), t => xxhash64(t)))
+      graft.functions.SimHashTokens64Expr
+        .simhash64Tokens(TextAnalysis.tokensCol(col("text")))
         .as("simhash"))
 
   /** SimHash near-duplicate pairs within `maxHamming` bits, using the

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * `documents(doc_id, text, lang, source, n_chars)` table: tokenization,
   * language identification, quality scoring, and document fingerprinting.
   *
-  * Everything is built from codegen'd `functions._` expressions — no UDFs in
-  * the hot path — so a 100 TB corpus scan stays inside whole-stage codegen
+  * Everything is built from codegen'd `functions._` expressions plus the
+  * native one-pass [[graft.functions.TokenStatsExpr]] — no UDFs and no
+  * interpreted higher-order-function lambdas in the hot path (r4: the three
+  * r3 `aggregate()` lambdas measured 2.8×/3.0× slower at 500K/5M docs,
+  * BENCH.md §6) — so a 100 TB corpus scan stays inside whole-stage codegen
   * with full column pruning (only `text` is read when only `text` is used).
   */
 object TextAnalysis {
@@ -24,14 +27,22 @@ object TextAnalysis {
   def wsTokenCountCol(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** One-pass token statistics (sum of token lengths, BPE-ish count,
+    * rolling fingerprint) via the native codegen'd
+    * [[graft.functions.TokenStatsExpr]]. Repeated uses of the same
+    * `token_stats(tokens(text))` subtree in one projection are computed
+    * once per row by whole-stage codegen's subexpression elimination.
+    */
+  private def tokenStats(text: Column): Column =
+    graft.functions.TokenStatsExpr.stats(tokensCol(text))
+
   /** BPE-ish subword count estimate: word tokens are weighted by
     * ceil(len/4) — a deterministic proxy for byte-pair-encoded token counts
     * (≈4 chars/token for latin text), usable for corpus budgeting without a
     * tokenizer model.
     */
   def bpeTokenCountCol(text: Column): Column =
-    coalesce(aggregate(tokensCol(text), lit(0L),
-      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")), lit(0L))
+    coalesce(tokenStats(text).getField("bpe"), lit(0L))
 
   /** Per-language stopword lists (public: the DuckDB oracle SQL is built
     * from the same source of truth, so the lists cannot drift).
@@ -75,7 +86,7 @@ object TextAnalysis {
     val toks = tokensCol(text)
     val nTok = size(toks).cast("double")
     val meanWordLen = when(nTok > 0,
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nTok)
+      tokenStats(text).getField("sum_len").cast("double") / nTok)
       .otherwise(lit(0.0))
     val punct = (len - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
       greatest(len, lit(1.0))
@@ -105,8 +116,7 @@ object TextAnalysis {
     * a stricter identity than a bag-of-words hash).
     */
   def fingerprintCol(text: Column): Column =
-    coalesce(aggregate(tokensCol(text), lit(0L), (acc, t) => xxhash64(acc, t)),
-      lit(0L))
+    coalesce(tokenStats(text).getField("fingerprint"), lit(0L))
 
   /** One-stop enrichment of a documents table. */
   def analyze(docs: DataFrame): DataFrame = {

@@ -85,6 +85,19 @@ object GraftSqlShim {
     }
   }
 
+  /** Block until the listener bus has delivered all posted events. Loop
+    * phase attribution discards stages of side jobs (init, localCheckpoint,
+    * checkpoint writes) by draining the listener right after the action —
+    * delivery is async, so without this barrier a slow bus could leak a
+    * side-job stage into the NEXT superstep's window.
+    */
+  def waitListenerBus(session: SparkSession): Unit =
+    // best-effort: a bus that stays busy for 10s (another loop posting
+    // continuously) must not crash the loop — the drain then just races,
+    // which is the pre-barrier behavior
+    try session.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Return the relation with `outputOrdering = Nil`. Two Spark 4.1.2 warts
     * make a non-empty ordering on a self-joined cached relation fatal:
     * `InMemoryRelation.newInstance` (applied to one branch by

@@ -136,6 +136,75 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("SSSP resumes from a mid-convergence checkpoint to the identical result") {
+    val dir = java.nio.file.Files.createTempDirectory("sssp-chk").toString
+    // a long weighted chain plus shortcuts: needs many relaxation rounds
+    val chain = (0L until 40L).map(i => WEdge(i, i + 1, 1.0 + (i % 3)))
+    val shortcuts = (0L until 40L by 8).map(i => WEdge(i, i + 8, 20.0))
+    val edges = spark.createDataset(chain ++ shortcuts)
+    val cfg = RunConfig(checkpointDir = Some(dir), checkpointEvery = 3,
+      maxIter = Int.MaxValue)
+
+    val full = graft.algo.Paths.sssp(edges, 0L, cfg)
+    val expected = full.dists.collect().map(v => v.id -> v.dist).toMap
+    full.iterations should be > 3
+
+    val Some((latest, json)) = Superstep.latestManifest(spark, dir)
+    json should include("\"algo\":\"sssp\"")
+    json should include("\"converged\":true")
+
+    val kept = keepOnlyEarliest(dir)
+    kept should be < latest
+
+    val resumed = graft.algo.Paths.sssp(edges, 0L, cfg)
+    resumed.converged shouldBe true
+    resumed.iterations should be < full.iterations // only the remaining rounds
+    resumed.dists.collect().map(v => v.id -> v.dist).toMap shouldBe expected
+  }
+
+  test("SSSP resume refuses a mutated edge table or a different source") {
+    val dir = java.nio.file.Files.createTempDirectory("sssp-chk2").toString
+    val cfg = RunConfig(checkpointDir = Some(dir), checkpointEvery = 1,
+      maxIter = Int.MaxValue)
+    val edgesA = spark.createDataset(
+      (0L until 30L).map(i => WEdge(i, i + 1, 1.0)))
+    graft.algo.Paths.sssp(edgesA, 0L, cfg)
+    // same universe, one weight changed → different fingerprint
+    val edgesB = spark.createDataset(
+      WEdge(0L, 1L, 2.0) +: (1L until 30L).map(i => WEdge(i, i + 1, 1.0)))
+    val ex = intercept[IllegalStateException] {
+      graft.algo.Paths.sssp(edgesB, 0L, cfg)
+    }
+    ex.getMessage should include("fingerprint")
+    // identical table, different source vertex → also refused
+    val ex2 = intercept[IllegalStateException] {
+      graft.algo.Paths.sssp(edgesA, 5L, cfg)
+    }
+    ex2.getMessage should include("fingerprint")
+    // BFS must not resume an SSSP checkpoint (different algo tag)
+    val ex3 = intercept[IllegalStateException] {
+      graft.algo.Paths.bfs(spark.createDataset(
+        (0L until 30L).map(i => Edge(i, i + 1))), 0L, cfg = cfg)
+    }
+    ex3.getMessage should include("algo 'sssp'")
+  }
+
+  test("BFS resumes mid-convergence on its own algo tag") {
+    val dir = java.nio.file.Files.createTempDirectory("bfs-chk").toString
+    val cfg = RunConfig(checkpointDir = Some(dir), checkpointEvery = 2)
+    val edges = spark.createDataset(
+      (0L until 25L).map(i => Edge(i, i + 1)) ++ Seq(Edge(0L, 30L), Edge(30L, 31L)))
+    val full = graft.algo.Paths.bfs(edges, 0L, cfg = cfg)
+    val expected = full.dists.collect().map(v => v.id -> v.dist).toMap
+    full.iterations should be > 2
+    val Some((_, json)) = Superstep.latestManifest(spark, dir)
+    json should include("\"algo\":\"bfs\"")
+    keepOnlyEarliest(dir)
+    val resumed = graft.algo.Paths.bfs(edges, 0L, cfg = cfg)
+    resumed.iterations should be < full.iterations
+    resumed.dists.collect().map(v => v.id -> v.dist).toMap shouldBe expected
+  }
+
   test("PageRank resumes mid-convergence with its frontier intact") {
     val dir = java.nio.file.Files.createTempDirectory("pr-chk").toString
     val edges = spark.createDataset(

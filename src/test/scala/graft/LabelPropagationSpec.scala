@@ -181,20 +181,30 @@ class LabelPropagationSpec extends SparkSpec {
       strict.labels.collect().map(v => v.id -> v.label).toMap
   }
 
-  test("declared numNodes smaller than an edge endpoint or seed fails fast") {
-    // dense state = range(numNodes) + left-outer apply: out-of-range votes
-    // would vanish silently, so init asserts the universe covers the input
+  test("declared numNodes: reference tolerance for out-of-range inputs") {
+    // reference contract (lpst): edges with src >= n are silently dropped
+    // (build_csr_from_edges, lib.rs:49-71), seeds with node >= n are
+    // silently ignored (init_labels, lib.rs:158-172); ONLY dst >= n is a
+    // hard error — the reference gather indexes labels[dst] and panics.
     val ds = spark.createDataset(Seq(Edge(0L, 1L), Edge(1L, 9L)))
     val sd = spark.createDataset(Seq(Seed(0L, 100L)))
+    // dst 9 >= 5 → fail fast (the reference would panic at gather)
     val ex = intercept[IllegalArgumentException] {
       LabelPropagation.run(ds, sd, numNodes = Some(5L))
     }
     ex.getMessage should include("out-of-range")
-    val ex2 = intercept[IllegalArgumentException] {
-      LabelPropagation.run(ds, spark.createDataset(Seq(Seed(99L, 100L))),
-        numNodes = Some(10L))
-    }
-    ex2.getMessage should include("out-of-range")
+    // seed node 99 >= 10 → silently ignored; the run stays SEEDED (the raw
+    // seed map is non-empty) with zero effective seeds → no label ever set
+    LabelPropagation.run(ds, spark.createDataset(Seq(Seed(99L, 100L))),
+      numNodes = Some(10L)).labels.count() shouldBe 0L
+    // src 9 >= 8 with dst 5 < 8 → the edge is silently dropped, the run
+    // succeeds, and the dropped edge contributes no vote: seed 5's label
+    // never reaches 9 (nor anything else over that edge)
+    val dsSrcHigh = spark.createDataset(Seq(Edge(0L, 5L), Edge(9L, 5L)))
+    val got = LabelPropagation.run(dsSrcHigh,
+        spark.createDataset(Seq(Seed(5L, 70L))), numNodes = Some(8L))
+      .labels.collect().map(v => v.id -> v.label).toMap
+    got shouldBe Map(0L -> 70L, 5L -> 70L)
     // exact cover is fine; labels flow dst→src here, so only the seed at 0
     // (whose out-neighbour chain never carries a label back) stays labeled
     LabelPropagation.run(ds, sd, numNodes = Some(10L))
