@@ -290,6 +290,12 @@ object Superstep {
       }
       val next = composed.persist(StorageLevel.MEMORY_AND_DISK)
       val tBuilt = System.nanoTime()
+      // force optimization + physical planning + codegen eagerly so the
+      // timer split can attribute plan time separately from job execution
+      // (count() reuses the lazily-cached executedPlan, so this moves cost,
+      // never duplicates it)
+      if (loopTimers) next.queryExecution.executedPlan
+      val tPlanned = System.nanoTime()
       if (doneIter >= 3 && iter < 3 && sys.env.contains("SPARK_GRAFT_EXPLAIN_STEP"))
         next.explain("formatted") // debug: dump one steady-state superstep plan
       // tag the materializing job so driver logs / the UI attribute every
@@ -312,7 +318,8 @@ object Superstep {
       if (loopTimers) {
         val tObs = System.nanoTime()
         System.err.println(f"[loop] iter=$doneIter k=$k build=${(tBuilt - t0) / 1e6}%.0fms " +
-          f"count=${(tCounted - tBuilt) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms " +
+          f"plan=${(tPlanned - tBuilt) / 1e6}%.0fms " +
+          f"count=${(tCounted - tPlanned) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms " +
           s"changed=${perStep.map(_._1).mkString(",")}")
       }
       GraftSqlShim.waitListenerBus(session)
