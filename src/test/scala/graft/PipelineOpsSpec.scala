@@ -255,6 +255,44 @@ class PipelineOpsSpec extends SparkSpec {
     newShape.size should be >= 10 // the planted near-dups collide somewhere
   }
 
+  test("LSH recall is monotone in (tables up, bits down) across the parameter grid") {
+    // Hyperplane (table, plane) pairs are seeded independently of the
+    // `bits`/`tables` counts (Knn.bucketCol), so candidate sets NEST along
+    // both axes: more tables append whole hash tables (superset), more bits
+    // refine every bucket (subset). With an exact re-filter the output pair
+    // set inherits the nesting — recall is provably non-decreasing in
+    // `tables` and non-increasing in `bits`, the property a 100 TB operator
+    // tunes against (measured curve: BENCH.md §7).
+    val dim = 16
+    val base = syntheticVectors(100, dim)
+    val planted = base.take(15).map { case (i, v) =>
+      (1000L + i, v.zipWithIndex.map { case (x, j) =>
+        x + ((graft.functions.SplitMix64Expr.mix(i * 31 + j) % 100) / 2000.0f)
+      })
+    }
+    val emb = (base ++ planted).toDF("id", "vec")
+    val t = 0.9
+    val exact = text.Dedup.embeddingNearDups(emb, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bitsGrid = Seq(4, 6, 8)
+    val tablesGrid = Seq(3, 6, 12)
+    val pairs: Map[(Int, Int), Set[(Long, Long)]] =
+      (for (b <- bitsGrid; tb <- tablesGrid) yield {
+        val got = text.Dedup.embeddingNearDupsLsh(emb, dim, t, b, tb).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.subsetOf(exact) shouldBe true // precision 1.0 by construction
+        (b, tb) -> got
+      }).toMap
+    for (b <- bitsGrid; (t1, t2) <- tablesGrid.zip(tablesGrid.tail))
+      pairs((b, t1)).subsetOf(pairs((b, t2))) shouldBe true // tables ↑ ⇒ recall ↑
+    for (tb <- tablesGrid; (b1, b2) <- bitsGrid.zip(bitsGrid.tail))
+      pairs((b2, tb)).subsetOf(pairs((b1, tb))) shouldBe true // bits ↑ ⇒ recall ↓
+    // the generous corner recovers everything the strict corner does, plus
+    // the planted structure at reasonable recall
+    val generous = pairs((4, 12))
+    (generous.size.toDouble / exact.size) should be >= 0.8
+  }
+
   test("multimodal: feature extraction + frame sampling plumbing") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media).collect()
