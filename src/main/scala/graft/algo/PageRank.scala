@@ -55,10 +55,6 @@ object PageRank {
 
     val packed = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // loop shuffle width stays at the session conf: shrinking it to match
-    // small inputs was measured SLOWER at local[32] (48 s vs 41 s for the
-    // 75-superstep 1M-edge run, interleaved min-of-2) — the per-superstep
-    // floor on this box is thread contention, not task count
     val outDeg = packed.groupBy($"src").agg(sum($"w").as("deg"))
     // contribution weight per distinct (src,dst): multiplicity / outDegree
     val contribRaw = packed.join(outDeg, "src")
@@ -68,19 +64,36 @@ object PageRank {
     val saltPlan: Option[graft.graph.SkewJoin.SaltPlan] =
       LabelPropagation.saltK(cfg).flatMap(k => graft.graph.SkewJoin.plan(
         contribRaw, "src", "dst", k, cfg.hubDegreeThreshold))
-    val contrib = saltPlan.map(_.salted).getOrElse(
-      contribRaw.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK))
-    contrib.count()
-    packed.unpersist(blocking = false)
 
     val vertices = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val numVertices = vertices.count()
+    // tiny vertex states run the whole loop at a narrower shuffle width
+    // (Superstep.autoWidth — measured 2.3× at 2K vertices); the contrib
+    // table is pre-partitioned at the SAME width so the gather join stays
+    // co-partitioned and exchange-free. The salted path keeps the session
+    // width (hub skew implies a graph far above the tiny-state branch).
+    val loopWidth = if (saltPlan.isDefined) None
+      else Superstep.autoWidth(spark, numVertices)
+    val contrib = saltPlan.map(_.salted).getOrElse {
+      val byCfg = loopWidth match {
+        case Some(w) => contribRaw.repartition(w, $"src")
+        case None => contribRaw.repartition($"src")
+      }
+      byCfg.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    contrib.count()
+    packed.unpersist(blocking = false)
 
-    // after Pregel superstep 0 (initial message to every vertex)
-    val init: DataFrame = vertices.select(
+    // after Pregel superstep 0 (initial message to every vertex). The init
+    // state must ENTER the loop at the loop width: a session-width state
+    // otherwise propagates its partitioning through every apply join (the
+    // join side that already satisfies the distribution wins), forcing a
+    // re-exchange of the loop-width contrib table every superstep.
+    val init0: DataFrame = vertices.select(
       $"id", lit(resetProb).as("rank"), lit(resetProb).as("delta"))
+    val init = loopWidth.fold(init0)(w => init0.repartition(w, $"id"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier = (if (iter == 0) state else state.filter($"_chg"))
@@ -105,7 +118,8 @@ object PageRank {
     val inputFp = cfg.checkpointDir.map(_ =>
       ConnectedComponents.fingerprint64(contrib.select($"src", $"dst", $"cw")))
     val res = Superstep.loopResumable(init, step,
-      cfg.copy(maxIter = maxIter), algo = "pagerank", inputFingerprint = inputFp)
+      cfg.copy(maxIter = maxIter), algo = "pagerank", inputFingerprint = inputFp,
+      shuffleWidth = loopWidth)
 
     // SPARK-18847: scale ranks so they sum to the vertex count
     val rawSum = res.state.agg(sum($"rank")).head().getDouble(0)

@@ -1,7 +1,7 @@
 package graft.algo
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
-import org.apache.spark.sql.{DataFrame, GraftSqlShim, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.hadoop.fs.Path
@@ -19,8 +19,15 @@ import java.nio.charset.StandardCharsets
   *
   * Per-superstep cost model (this loop is the engine's hot path — every
   * avoidable fixed cost here divides directly into scaling efficiency):
-  *  - exactly ONE job per superstep: `count()` on the persisted new state,
-  *    which materializes the cache and fires the changed-count observation;
+  *  - exactly ONE job per superstep, and the cheapest possible one: the
+  *    persisted new state's `toRdd` is consumed under a SQL execution id
+  *    ([[org.apache.spark.sql.GraftSqlShim.materializeObserved]]), which
+  *    materializes the cache and fires every per-step CollectMetrics
+  *    accumulator; changed/row counts are then read SYNCHRONOUSLY from
+  *    the accumulators. (`count()` + `Observation` cost one extra
+  *    Aggregate stage plus an async listener-bus round-trip per
+  *    superstep — ~0.1 s of scaffolding at converged-frontier sizes,
+  *    measured in BENCH.md §9);
   *  - logical-plan lineage is truncated EVERY step at zero execution cost
   *    by wrapping the cached result's RDD in a `LogicalRDD`
   *    ([[org.apache.spark.sql.GraftSqlShim.truncatedView]]) — a step
@@ -102,9 +109,9 @@ object Superstep {
   private[graft] val LoopIdProperty = "graft.loop.id"
 
   /** Collects per-stage windows; drained once per superstep. Stage events
-    * for the materializing job are flushed before `Observation.get`
-    * returns (same listener queue), so the drain is race-free for the job
-    * it attributes.
+    * for the materializing job are flushed by an explicit listener-bus
+    * barrier (waitListenerBus) before the drain, so the drain is race-free
+    * for the job it attributes.
     *
     * `loopId`: when set, only stages belonging to jobs tagged with this
     * loop's [[LoopIdProperty]] are collected — a SparkListener is
@@ -136,16 +143,21 @@ object Superstep {
     }
     /** Stages completed since the last drain, in stage order, phase-named.
       * `steps` = supersteps materialized by the drained job; the canonical
-      * unbatched job shape is gather (map-side scatter + partial agg),
-      * apply (final agg + apply join + persist), collect (single-task
-      * count). Batched jobs rarely match the 2·steps+1 template (their
+      * unbatched job shape is gather (map-side scatter + partial agg) then
+      * apply (final agg + apply join + state materialization — the toRdd
+      * consume rides this stage; there is no separate count/collect stage
+      * since r4). The legacy 2·steps+1 template (trailing single-task
+      * count stage) is kept for any caller still materializing via an
+      * aggregate action. Batched jobs rarely match either template (their
       * duplicated subtrees re-execute, see [[DefaultBatchK]]) and fall
       * back to positional stage names.
       */
     def drain(steps: Int = 1): List[PhaseWindow] = {
       val raw = buf.synchronized { val r = buf.sortBy(_._1).toList; buf.clear(); r }
       val names =
-        if (raw.size == 2 * steps + 1)
+        if (raw.size == 2 * steps)
+          (0 until 2 * steps).map(i => if (i % 2 == 0) "gather" else "apply").toList
+        else if (raw.size == 2 * steps + 1)
           (0 until 2 * steps).map(i => if (i % 2 == 0) "gather" else "apply").toList :+ "collect"
         else (0 until raw.size).map(i => s"stage$i").toList
       raw.zip(names).map { case ((_, w), n) => w.copy(phase = n) }
@@ -158,6 +170,21 @@ object Superstep {
       val raw = buf.synchronized { val r = buf.sortBy(_._1).toList; buf.clear(); r }
       raw.zipWithIndex.map { case ((_, w), i) => w.copy(phase = s"$prefix$i") }
     }
+  }
+
+  /** Loop shuffle width for a vertex state of `numKeys` rows. Measured
+    * (interleaved same-JVM, BENCH.md §9): at 2K vertices an 8-way loop runs
+    * the whole 75-superstep PageRank 2.3× faster than the 32-way session
+    * width (median superstep 180 ms vs 510 ms — task scheduling dominates
+    * tiny states), while at 100K vertices 32-way is ~1.17× faster than
+    * 8-way and at ≥4M the session width wins outright. Session width
+    * therefore stands unless the state is tiny. A 100 TB deployment never
+    * triggers the small branch (its states are billions of rows); this is
+    * purely the small-graph fixed-cost guard.
+    */
+  def autoWidth(session: SparkSession, numKeys: Long): Option[Int] = {
+    val sessionWidth = session.conf.get("spark.sql.shuffle.partitions").toInt
+    if (numKeys <= 16384 && sessionWidth > 8) Some(8) else None
   }
 
   /** Supersteps composed into one materializing job once the frontier is
@@ -218,7 +245,8 @@ object Superstep {
       ratioThreshold: Option[Double] = None,
       batchK: Int = DefaultBatchK,
       batchFrontierMax: Long = DefaultBatchFrontierMax,
-      inputFingerprint: Option[Long] = None): LoopResult = {
+      inputFingerprint: Option[Long] = None,
+      shuffleWidth: Option[Int] = None): LoopResult = {
     require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     require(localCheckpointEvery > 0,
       s"localCheckpointEvery must be positive, got $localCheckpointEvery")
@@ -226,6 +254,7 @@ object Superstep {
 
     val session = SparkSession.active
     val loopSession = GraftSqlShim.sessionWithConfs(session,
+      Seq(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.join.preferSortMergeJoin" -> "false",
       // NO broadcast joins inside the loop: with a sub-threshold state the
@@ -234,10 +263,12 @@ object Superstep {
       // the dominant per-superstep fixed cost at 100K vertices, and fatal
       // to scaling at 4M). The co-partitioned shuffled-hash gather join
       // needs zero exchanges and builds only |partition|-sized hash maps.
-      // Loop shuffle width stays at the session conf: shrinking it to the
-      // data size was measured SLOWER at local[32] (PR 1M edges × 75
-      // steps: 48 s at 8-way vs 41 s at 32-way, interleaved min-of-2).
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      // Loop shuffle width: the session conf unless the caller passes
+      // `shuffleWidth` (see [[autoWidth]] — tiny states run ~2.3× faster
+      // 8-way; at ≥100K-row states the session width was measured better:
+      // PR 1M edges × 75 steps, 48 s at 8-way vs 41 s at 32-way).
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") ++
+      shuffleWidth.map(w => "spark.sql.shuffle.partitions" -> w.toString): _*)
     // every job this loop submits (supersteps, localCheckpoints, durable
     // checkpoint writes) is tagged with a unique loop id via a thread-local
     // SparkContext property, and the listener collects ONLY those stages —
@@ -272,20 +303,18 @@ object Superstep {
         case None => k1
       }
       val doneIter = iter + k
-      // changed/row counts ride the materializing count() via observe()
+      // changed/row counts ride the materializing job via observe()
       // (accumulator-backed) — no separate aggregation job per superstep,
       // which at converged-frontier sizes costs as much as the superstep.
       // A batched job carries ONE CollectMetrics node per composed step
       // (pass-through: partitioning/ordering preserved, no stage break),
       // so per-superstep changed counts — and the exact convergence
       // iteration — survive batching.
-      val obsPerStep = (iter until doneIter).map { i =>
-        new Observation(s"superstep_${i + 1}")
-      }
+      val obsNames = (iter until doneIter).map(i => s"superstep_${i + 1}")
       var composed = state
       for (i <- iter until doneIter) {
         composed = GraftSqlShim.bind(loopSession, step(composed, i))
-          .observe(obsPerStep(i - iter), count(lit(1)).as("rows"),
+          .observe(obsNames(i - iter), count(lit(1)).as("rows"),
             sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
       }
       val next = composed.persist(StorageLevel.MEMORY_AND_DISK)
@@ -302,41 +331,58 @@ object Superstep {
       // stage to its superstep (and stray jobs stand out)
       session.sparkContext.setJobDescription(
         s"$algo superstep ${iter + 1}${if (k > 1) s"-$doneIter" else ""}")
-      next.count() // THE one job: caches state + fires every observation
+      // THE one job: consume toRdd (caches state, fires every CollectMetrics
+      // accumulator) and read the per-step metrics synchronously — no
+      // count() Aggregate plan, no extra single-task final stage, no
+      // Observation listener-bus round-trip (measured ~0.1 s/superstep of
+      // job scaffolding at converged-frontier sizes, BENCH.md §9)
+      val observed = GraftSqlShim.materializeObserved(next)
       session.sparkContext.setJobDescription(null)
       val tCounted = System.nanoTime()
       // per-step (changed, rows), all fired by the single job above
-      val perStep: Seq[(Long, Long)] = obsPerStep.map { o =>
-        val m = o.get
-        val chg = m.get("changed").map {
+      val perStep: Seq[(Long, Long)] = obsNames.map { n =>
+        val m = observed.getOrElse(n, throw new IllegalStateException(
+          s"observed metrics for $n missing from the materializing job"))
+        val chg = m.getAs[Any]("changed") match {
           case null => 0L
           case v => v.asInstanceOf[Long]
-        }.getOrElse(0L)
-        val rws = m.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
-        (chg, rws)
+        }
+        (chg, m.getAs[Any]("rows").asInstanceOf[Long])
       }
       if (loopTimers) {
         val tObs = System.nanoTime()
         System.err.println(f"[loop] iter=$doneIter k=$k build=${(tBuilt - t0) / 1e6}%.0fms " +
           f"plan=${(tPlanned - tBuilt) / 1e6}%.0fms " +
-          f"count=${(tCounted - tPlanned) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms " +
+          f"exec=${(tCounted - tPlanned) / 1e6}%.0fms obsGet=${(tObs - tCounted) / 1e6}%.0fms " +
           s"changed=${perStep.map(_._1).mkString(",")}")
       }
       GraftSqlShim.waitListenerBus(session)
       val phases = listener.drain(k)
 
-      // logical lineage truncation every step is free (a flat
-      // InMemoryRelation view over the cache — an IMR leaf, unlike a
-      // LogicalRDD one, also keeps ReuseExchange working inside batched
-      // plans, see GraftSqlShim.cachedView); a real localCheckpoint every
-      // K steps bounds the RDD DAG that task closures carry, and is
-      // re-persisted so the state leaf stays an IMR
-      // SPARK_GRAFT_STATE_LEAF=rdd is a perf-probe escape hatch back to the
-      // r2 LogicalRDD leaf (breaks ReuseExchange inside batched plans, so
-      // only meaningful with batchK = 1)
-      val rddLeaf = sys.env.get("SPARK_GRAFT_STATE_LEAF").contains("rdd")
+      // logical lineage truncation every step is free; the LEAF choice is
+      // measured, not aesthetic (BENCH.md §9):
+      //  - the InMemoryRelation leaf (default) scans the cache without the
+      //    per-row defensive copy that a LogicalRDD view must pay
+      //    (truncatedView maps _.copy() — load-bearing, the state feeds
+      //    hash-join builds that buffer rows), and keeps ReuseExchange
+      //    working inside batched plans. Interleaved same-JVM A/B at 4M
+      //    nodes: LP median 2.4-2.8 s/iter (imr) vs 2.9-4.5 s (rdd leaf) —
+      //    the copy is real money once the state is millions of rows;
+      //  - the flat LogicalRDD leaf avoids the IMR plan-STRING growth
+      //    (an IMR leaf prints its cachedPlan via innerChildren, which
+      //    embeds the previous IMR — 2× per superstep, exponential between
+      //    localCheckpoints) and at 2K-vertex graphs measured faster in
+      //    one probe and slower in another (±10%, host-noise bound).
+      // A real localCheckpoint every K steps stays mandatory either way:
+      // the RDD DAG rides along in every task closure and a 75-deep chain
+      // overflows the task-deserialization stack (measured), and it also
+      // resets the IMR string growth.
+      // graft.state.leaf / SPARK_GRAFT_STATE_LEAF = rdd is the escape hatch.
+      val rddLeaf = sys.props.get("graft.state.leaf")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_LEAF")).contains("rdd")
+      val tookLocalCheckpoint = (doneIter - startIter) % localCheckpointEvery < k
       val (view, newBacking) =
-        if ((doneIter - startIter) % localCheckpointEvery < k) {
+        if (tookLocalCheckpoint) {
           val lc = next.localCheckpoint(eager = true)
           next.unpersist(blocking = false)
           if (rddLeaf) (lc, lc)
@@ -346,8 +392,13 @@ object Superstep {
           }
         } else if (rddLeaf) (GraftSqlShim.truncatedView(next), next)
         else (GraftSqlShim.cachedView(next), next)
-      GraftSqlShim.waitListenerBus(session)
-      listener.drain() // discard the localCheckpoint job's stages, if any
+      if (tookLocalCheckpoint) {
+        // only the localCheckpoint path runs a job whose stages must be
+        // discarded; cachedView/truncatedView spawn none, so the common
+        // iteration skips this second listener-bus barrier entirely
+        GraftSqlShim.waitListenerBus(session)
+        listener.drain()
+      }
       if (loopTimers)
         System.err.println(f"[loop] iter=$doneIter total=${(System.nanoTime() - t0) / 1e6}%.0fms")
       val computeMs = (System.nanoTime() - t0) / 1000000L
@@ -425,13 +476,15 @@ object Superstep {
       step: Step,
       cfg: graft.model.RunConfig,
       algo: String,
-      inputFingerprint: Option[Long] = None): LoopResult = {
+      inputFingerprint: Option[Long] = None,
+      shuffleWidth: Option[Int] = None): LoopResult = {
     cfg.checkpointDir match {
       case None =>
         loop(init, step, cfg.maxIter, cfg.convergenceThreshold,
           None, cfg.checkpointEvery, cfg.localCheckpointEvery, algo = algo,
           ratioThreshold = cfg.convergenceRatio,
-          batchK = cfg.batchK, batchFrontierMax = cfg.batchFrontierMax)
+          batchK = cfg.batchK, batchFrontierMax = cfg.batchFrontierMax,
+          shuffleWidth = shuffleWidth)
       case Some(dir) =>
         val (state, doneIter, converged) = {
           val spark = SparkSession.active
@@ -442,7 +495,7 @@ object Superstep {
           Some(dir), cfg.checkpointEvery, cfg.localCheckpointEvery,
           startIter = doneIter, algo = algo, ratioThreshold = cfg.convergenceRatio,
           batchK = cfg.batchK, batchFrontierMax = cfg.batchFrontierMax,
-          inputFingerprint = inputFingerprint)
+          inputFingerprint = inputFingerprint, shuffleWidth = shuffleWidth)
     }
   }
 

@@ -85,6 +85,47 @@ object GraftSqlShim {
     }
   }
 
+  /** Materialize `df` (typically persisted loop state) with the CHEAPEST
+    * possible job — consume its `toRdd` iterators under a SQL execution id
+    * — and return every `observe()` metric in its plan, read SYNCHRONOUSLY
+    * from the CollectMetrics accumulators (merged driver-side before the
+    * job returns). Replaces `df.count()` + [[org.apache.spark.sql.Observation]]
+    * in the superstep loop: count() plans an extra Aggregate (one more
+    * single-task stage per superstep) and Observation completes on the
+    * listener BUS (an async round-trip per superstep); this does neither.
+    */
+  def materializeObserved(df: DataFrame): Map[String, Row] = {
+    val qe = df.asInstanceOf[classic.DataFrame].queryExecution
+    // escape hatch for interleaved A/B probes: materialize via count()
+    // (the pre-r4 action — plans an extra Aggregate + one single-task
+    // stage, but consumes the cache COLUMN-PRUNED) instead of the toRdd
+    // consume. The sync accumulator read below works for either action:
+    // both trigger the same InMemoryRelation cachedPlan instance.
+    if (sys.props.get("graft.loop.action")
+        .orElse(sys.env.get("SPARK_GRAFT_LOOP_ACTION")).contains("count")) {
+      df.count()
+    } else {
+      execution.SQLExecution.withNewExecutionId(qe) {
+        qe.toRdd.foreachPartition { it: Iterator[_] =>
+          while (it.hasNext) it.next()
+        }
+      }
+    }
+    collectObserved(qe.executedPlan)
+  }
+
+  /** All CollectMetrics accumulators in `plan`, descending into cached
+    * relations (a persisted plan's collectors live inside the
+    * InMemoryRelation's cachedPlan, which plain plan traversal skips).
+    */
+  private def collectObserved(plan: execution.SparkPlan): Map[String, Row] = {
+    val nested = plan.collect {
+      case s: execution.columnar.InMemoryTableScanExec =>
+        collectObserved(s.relation.cachedPlan)
+    }.foldLeft(Map.empty[String, Row])(_ ++ _)
+    nested ++ execution.CollectMetricsExec.collect(plan)
+  }
+
   /** Block until the listener bus has delivered all posted events. Loop
     * phase attribution discards stages of side jobs (init, localCheckpoint,
     * checkpoint writes) by draining the listener right after the action —

@@ -44,14 +44,15 @@ class ConcurrentLoopsSpec extends SparkSpec {
       b.ranks.toDF().select($"id", org.apache.spark.sql.functions.round($"rank", 9).as("r"))) shouldBe fpB
 
     // every superstep's drained window is the loop's own canonical
-    // gather/apply/collect job — a cross-polluted drain has extra stages
-    // and falls back to positional stage0..stageN names
+    // gather/apply job (2 stages since the r4 toRdd-consume action — no
+    // trailing count stage) — a cross-polluted drain has extra stages and
+    // falls back to positional stage0..stageN names
     for ((res, tag) <- Seq((a, "A"), (b, "B"))) {
-      val canonical = Set("gather", "apply", "collect")
+      val canonical = Set("gather", "apply")
       res.stats.foreach { st =>
         withClue(s"loop $tag iter ${st.iteration}: ${st.phases.map(_.phase)}") {
           st.phases.map(_.phase).toSet.subsetOf(canonical) shouldBe true
-          st.phases.size shouldBe 3
+          st.phases.size shouldBe 2
         }
       }
     }
