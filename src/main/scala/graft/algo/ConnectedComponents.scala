@@ -32,16 +32,41 @@ object ConnectedComponents {
 
     // undirected doubling, deduped (duplicates are irrelevant for min),
     // partitioned by src once — every superstep's join reuses this exchange
-    val und = edges.select($"src", $"dst")
+    val undSession = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val undCount = undSession.count()
+
+    // tiny vertex states run the whole loop at a narrower shuffle width
+    // (Superstep.autoWidth — measured 2.3× at 2K vertices, BENCH.md §9.3);
+    // the doubled edge table is re-partitioned at the SAME width so the
+    // gather join stays co-partitioned. The vertex count is only derived
+    // when the (already-materialized) edge count is itself small, so no
+    // extra driver job appears at scale. `und` is doubled, so distinct
+    // src covers every non-isolated vertex.
+    val loopWidth =
+      if (undCount <= (1L << 20))
+        Superstep.autoWidth(spark, undSession.select($"src").distinct().count())
+      else None
+    val und = loopWidth match {
+      case Some(w) =>
+        val p = undSession.repartition(w, $"src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        undSession.unpersist(blocking = false)
+        p
+      case None => undSession
+    }
 
     val vertices = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct()
-    val init = vertices.select($"id", $"id".as("comp"))
+    // enter the loop at the loop width (see PageRank.init — a session-width
+    // init otherwise forces a message re-exchange every superstep)
+    val init0 = vertices.select($"id", $"id".as("comp"))
+    val init = loopWidth.fold(init0)(w => init0.repartition(w, $"id"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier =
@@ -57,7 +82,8 @@ object ConnectedComponents {
 
     val inputFp = cfg.checkpointDir.map(_ => fingerprint64(und.toDF()))
     val res = Superstep.loopResumable(init, step,
-      cfg.copy(convergenceThreshold = 0L), algo = "cc", inputFingerprint = inputFp)
+      cfg.copy(convergenceThreshold = 0L), algo = "cc", inputFingerprint = inputFp,
+      shuffleWidth = loopWidth)
     val comps = res.state.select($"id", $"comp".as("component"))
       .as[VertexComponent].persist(StorageLevel.MEMORY_AND_DISK)
     val nComp = comps.agg(countDistinct($"component")).head().getLong(0)

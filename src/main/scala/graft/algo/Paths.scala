@@ -64,9 +64,32 @@ object Paths {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val packed = edges.groupBy($"src", $"dst").agg(min($"weight").as("weight"))
+    val packedSession = edges.groupBy($"src", $"dst").agg(min($"weight").as("weight"))
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val packedCount = packedSession.count()
+
+    // tiny vertex states run the whole loop at a narrower shuffle width
+    // (Superstep.autoWidth — measured 2.3× at 2K vertices, BENCH.md §9.3);
+    // the adjacency is re-partitioned at the SAME width so the gather join
+    // stays co-partitioned. The vertex count is only derived when the
+    // (already-materialized) edge count is itself small — no extra driver
+    // job at scale. min over doubles is exact (no re-association), so the
+    // result is bit-identical at any width.
+    val loopWidth =
+      if (packedCount <= (1L << 20))
+        Superstep.autoWidth(spark, packedSession.select($"src".as("id"))
+          .union(packedSession.select($"dst".as("id"))).distinct().count())
+      else None
+    val packed = loopWidth match {
+      case Some(w) =>
+        val p = packedSession.repartition(w, $"src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        packedSession.unpersist(blocking = false)
+        p
+      case None => packedSession
+    }
 
     // DENSE state (one row per vertex, +∞ = unreached — the reference's
     // sentinel, `sssp_graphx_shell.scala:27`): keeps the apply join
@@ -78,9 +101,12 @@ object Paths {
         .union(packed.select($"dst".as("id")))
         .union(spark.range(1).select(lit(source).as("id"))) // isolated source
         .distinct()
-      vertices.select(
+      val st = vertices.select(
         $"id",
         when($"id" === source, 0.0).otherwise(Double.PositiveInfinity).as("dist"))
+      // enter the loop at the loop width (see PageRank.init — a
+      // session-width init otherwise forces a re-exchange every superstep)
+      loopWidth.fold(st)(w => st.repartition(w, $"id"))
     }
 
     def step(state: DataFrame, iter: Int): DataFrame = {
@@ -104,7 +130,7 @@ object Paths {
       ConnectedComponents.fingerprint64(packed.toDF()) ^
         graft.functions.SplitMix64Expr.mix(source))
     val res = Superstep.loopResumable(init, step, cfg, algo = algo,
-      inputFingerprint = inputFp)
+      inputFingerprint = inputFp, shuffleWidth = loopWidth)
     // absent-row output contract: unreachable vertices are not emitted
     val dists = res.state.filter($"dist" < Double.PositiveInfinity)
       .select($"id", $"dist").as[VertexDist]
