@@ -98,9 +98,11 @@ object GraftSqlShim {
     val qe = df.asInstanceOf[classic.DataFrame].queryExecution
     // escape hatch for interleaved A/B probes: materialize via count()
     // (the pre-r4 action — plans an extra Aggregate + one single-task
-    // stage, but consumes the cache COLUMN-PRUNED) instead of the toRdd
-    // consume. The sync accumulator read below works for either action:
-    // both trigger the same InMemoryRelation cachedPlan instance.
+    // stage) instead of the toRdd consume. Measured equivalent at 100K
+    // vertices and ~12% slower at 2K (PrActionProbe, BENCH.md §10) — the
+    // toRdd default wins or ties at every size. The sync accumulator read
+    // below works for either action: both trigger the same
+    // InMemoryRelation cachedPlan instance.
     if (sys.props.get("graft.loop.action")
         .orElse(sys.env.get("SPARK_GRAFT_LOOP_ACTION")).contains("count")) {
       df.count()
