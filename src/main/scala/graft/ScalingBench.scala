@@ -63,6 +63,59 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** One level as a single JSON line (the child → parent protocol of the
+    * forked two-JVM mode, and a replayable record either way).
+    */
+  private[graft] def levelJson(l: Level): String =
+    s"""{"level":{"cpus":${l.cpus},"edges":${l.edges},""" +
+    s""""lp_iters":${l.lpIters},"lp_wall":${f"${l.lpWall}%.3f"},""" +
+    s""""lp_med_iter":${f"${l.lpMedIter}%.4f"},""" +
+    s""""pr_iters":${l.prIters},"pr_wall":${f"${l.prWall}%.3f"},""" +
+    s""""pr_med_iter":${f"${l.prMedIter}%.4f"},""" +
+    s""""lp_fp":${l.lpFp},"pr_fp":${l.prFp}}}"""
+
+  private def num(json: String, key: String): String =
+    s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(s"no $key in level line: $json"))
+
+  private[graft] def parseLevel(json: String): Level = Level(
+    num(json, "cpus").toInt, num(json, "edges").toLong,
+    num(json, "lp_iters").toInt, num(json, "lp_wall").toDouble,
+    num(json, "lp_med_iter").toDouble,
+    num(json, "pr_iters").toInt, num(json, "pr_wall").toDouble,
+    num(json, "pr_med_iter").toDouble,
+    num(json, "lp_fp").toLong, num(json, "pr_fp").toLong)
+
+  /** Run one level in a CHILD JVM (same classpath + JVM flags, env
+    * `SPARK_GRAFT_SCALE_LEVEL` selects the core count) and parse its level
+    * line. Default protocol since round 4: a real cluster's N and 4N runs
+    * are separate driver JVMs, and reusing one JVM for both levels tripped
+    * a Spark 4.1.2 session-transition race exactly once (a superstep plan
+    * constructed in the second SparkContext captured a null session and
+    * NPE'd at execute — see GraftSqlShim.materializeObserved's guard).
+    * Fresh JVMs per level remove that whole state class; determinism is
+    * still asserted via bit-identical cross-JVM result fingerprints.
+    */
+  private def runForked(cpus: Int): Level = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.ScalingBench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_SCALE_LEVEL", cpus.toString)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val exit = proc.waitFor()
+    require(exit == 0, s"level-$cpus child JVM exited $exit")
+    out.find(_.startsWith("""{"level""""))
+      .map(parseLevel)
+      .getOrElse(throw new IllegalStateException(
+        s"level-$cpus child printed no level line; stdout: ${out.mkString(" | ")}"))
+  }
+
   def main(args: Array[String]): Unit = {
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val nLarge = nSmall * 4
@@ -70,8 +123,16 @@ object ScalingBench {
     val density = sys.env.getOrElse("SPARK_GRAFT_BENCH_DENSITY", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
 
-    val small = runAt(nSmall, nodes, density, reps)
-    val large = runAt(nLarge, nodes, density, reps)
+    // child mode: run exactly one level in this JVM and emit its line
+    if (sys.env.contains("SPARK_GRAFT_SCALE_LEVEL")) {
+      val c = sys.env("SPARK_GRAFT_SCALE_LEVEL").toInt
+      println(levelJson(runAt(c, nodes, density, reps)))
+      return
+    }
+
+    val fork = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORK", "1") != "0"
+    val small = if (fork) runForked(nSmall) else runAt(nSmall, nodes, density, reps)
+    val large = if (fork) runForked(nLarge) else runAt(nLarge, nodes, density, reps)
 
     require(small.lpFp == large.lpFp,
       s"LP results differ across parallelism: ${small.lpFp} vs ${large.lpFp}")

@@ -95,7 +95,31 @@ object GraftSqlShim {
     * listener BUS (an async round-trip per superstep); this does neither.
     */
   def materializeObserved(df: DataFrame): Map[String, Row] = {
-    val qe = df.asInstanceOf[classic.DataFrame].queryExecution
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    var qe = cdf.queryExecution
+    // Session-transition guard: `SparkPlan.session` is captured from
+    // getActiveSession at node CONSTRUCTION, and getActiveSession filters
+    // out sessions whose SparkContext is stopped — so a plan built in the
+    // window where the owning context reports stopped silently carries
+    // session = null and dies at execute() with an opaque NPE ("SparkPlan
+    // .session() is null"; observed exactly once, mid-PageRank in the
+    // SECOND SparkContext of one ScalingBench JVM, Spark 4.1.2). Detect it
+    // BEFORE executing: replan once on the dataset's own session if that
+    // session is alive (construction is deterministic from the logical
+    // plan, and the persisted-cache lookup keys on the logical plan, so a
+    // replan lands on the same InMemoryRelation), else fail with the real
+    // story instead of the NPE.
+    if (qe.executedPlan.exists(p => p.session eq null)) {
+      val s = cdf.sparkSession
+      if (!s.isUsable) throw new IllegalStateException(
+        "superstep state's SparkContext was stopped mid-loop (its physical " +
+        "plan was constructed against a stopped session)")
+      System.err.println(
+        "[graft] WARN: superstep plan captured a null session (active session " +
+        "was unusable at plan construction); replanning once on " +
+        s"${s.sparkContext.applicationId}")
+      qe = s.sessionState.executePlan(qe.logical)
+    }
     // escape hatch for interleaved A/B probes: materialize via count()
     // (the pre-r4 action — plans an extra Aggregate + one single-task
     // stage) instead of the toRdd consume. Measured equivalent at 100K

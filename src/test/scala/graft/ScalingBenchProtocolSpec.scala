@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The forked two-JVM ScalingBench protocol: each level child prints one
+  * JSON line, the parent parses it back. A drifted field name or a lost
+  * digit here silently corrupts the round's scaling evidence, so the
+  * encode/decode pair is pinned as an exact round-trip (no SparkSession
+  * needed — this is pure string protocol).
+  */
+class ScalingBenchProtocolSpec extends AnyFunSuite {
+
+  private val sample = ScalingBench.Level(
+    cpus = 8, edges = 40000000L,
+    lpIters = 6, lpWall = 94.017, lpMedIter = 9.7712,
+    prIters = 75, prWall = 421.552, prMedIter = 5.2401,
+    lpFp = -8823911406800802816L, prFp = 7421900394817361920L)
+
+  test("levelJson → parseLevel is the identity on every field") {
+    val parsed = ScalingBench.parseLevel(ScalingBench.levelJson(sample))
+    assert(parsed.cpus === sample.cpus)
+    assert(parsed.edges === sample.edges)
+    assert(parsed.lpIters === sample.lpIters)
+    assert(parsed.prIters === sample.prIters)
+    // wall/median seconds are serialized at 3/4 decimals — the estimator's
+    // resolution; fingerprints must survive exactly (negative included)
+    assert(math.abs(parsed.lpWall - sample.lpWall) < 1e-3)
+    assert(math.abs(parsed.prWall - sample.prWall) < 1e-3)
+    assert(math.abs(parsed.lpMedIter - sample.lpMedIter) < 1e-4)
+    assert(math.abs(parsed.prMedIter - sample.prMedIter) < 1e-4)
+    assert(parsed.lpFp === sample.lpFp)
+    assert(parsed.prFp === sample.prFp)
+  }
+
+  test("parseLevel fails loudly on a line missing a field") {
+    val broken = ScalingBench.levelJson(sample).replace("\"pr_fp\"", "\"xx\"")
+    val e = intercept[IllegalStateException](ScalingBench.parseLevel(broken))
+    assert(e.getMessage.contains("pr_fp"))
+  }
+
+  test("derived throughput/efficiency math is consistent on parsed levels") {
+    val small = ScalingBench.parseLevel(ScalingBench.levelJson(sample))
+    val large = small.copy(cpus = 32, lpMedIter = small.lpMedIter / 4.0,
+      prMedIter = small.prMedIter / 4.0)
+    // perfect 4× per-superstep speedup ⇒ efficiency exactly 1.0
+    assert(math.abs(large.lpTput / (4.0 * small.lpTput) - 1.0) < 1e-9)
+    assert(math.abs(large.combinedTput / (4.0 * small.combinedTput) - 1.0) < 1e-9)
+  }
+}
