@@ -29,9 +29,11 @@ import java.nio.charset.StandardCharsets
   *    superstep — ~0.1 s of scaffolding at converged-frontier sizes,
   *    measured in BENCH.md §9);
   *  - logical-plan lineage is truncated EVERY step at zero execution cost
-  *    by wrapping the cached result's RDD in a `LogicalRDD`
-  *    ([[org.apache.spark.sql.GraftSqlShim.truncatedView]]) — a step
-  *    references its input twice, so an untruncated plan doubles per
+  *    by re-rooting the state on its own cached `InMemoryRelation` leaf
+  *    ([[org.apache.spark.sql.GraftSqlShim.cachedView]]; the `LogicalRDD`
+  *    wrapper `truncatedView` remains only as the fallback for
+  *    unregistered plans and the `graft.state.leaf=rdd` probe hatch) — a
+  *    step references its input twice, so an untruncated plan doubles per
   *    superstep and Catalyst analysis comes to dominate small iterations;
   *  - the RDD-level DAG (which grows a few nodes per superstep and rides
   *    along in every task closure) is truncated with a real
