@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED: the default
+// LoggedOutput strategy prepends "[info] " to every line, which breaks
+// machine parsing of the one-line JSON protocol that graft.Bench /
+// graft.ScalingBench print for the benchmark driver.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

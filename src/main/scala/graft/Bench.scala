@@ -109,6 +109,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one-line JSON protocol is machine-parsed: pin the JVM default
+    // locale so every f"%.3f" in this file emits dot decimals even on a
+    // comma-decimal host locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchNodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "100000").toLong

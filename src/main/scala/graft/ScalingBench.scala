@@ -24,8 +24,14 @@ import org.apache.spark.sql.SparkSession
   * methodology (`runtime_metrics.py:81-183`).
   *
   * Usage: SPARK_GRAFT_SCALE_N=8 SPARK_GRAFT_BENCH_NODES=4000000 \
-  *        sbt "runMain graft.ScalingBench"
-  * Prints one JSON line; BENCH.md records the results.
+  *        scripts/run_main.sh graft.ScalingBench
+  * (NOT `sbt runMain`: the default forked mode rebuilds the child command
+  * from java.class.path, which under sbt's in-process runner is the sbt
+  * LAUNCHER classpath, so the child would die with ClassNotFoundException.
+  * `main` fails fast if graft.ScalingBench is not loadable from
+  * java.class.path; set SPARK_GRAFT_SCALE_FORK=0 to run both levels
+  * in-process under sbt.) Prints one JSON line; BENCH.md records the
+  * results.
   */
 object ScalingBench {
 
@@ -63,15 +69,24 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Locale-pinned decimal formatting for every machine-parsed number: the
+    * default `f"%.3f"` interpolator is locale-sensitive, and a comma-decimal
+    * locale (e.g. de_DE) would emit `"lp_wall":94,017`, which the
+    * `[0-9.]+` parser silently truncates to 94 — corrupting medians and the
+    * derived efficiency with no error.
+    */
+  private def d(v: Double, places: Int): String =
+    s"%.${places}f".formatLocal(java.util.Locale.ROOT, v)
+
   /** One level as a single JSON line (the child → parent protocol of the
     * forked two-JVM mode, and a replayable record either way).
     */
   private[graft] def levelJson(l: Level): String =
     s"""{"level":{"cpus":${l.cpus},"edges":${l.edges},""" +
-    s""""lp_iters":${l.lpIters},"lp_wall":${f"${l.lpWall}%.3f"},""" +
-    s""""lp_med_iter":${f"${l.lpMedIter}%.4f"},""" +
-    s""""pr_iters":${l.prIters},"pr_wall":${f"${l.prWall}%.3f"},""" +
-    s""""pr_med_iter":${f"${l.prMedIter}%.4f"},""" +
+    s""""lp_iters":${l.lpIters},"lp_wall":${d(l.lpWall, 3)},""" +
+    s""""lp_med_iter":${d(l.lpMedIter, 4)},""" +
+    s""""pr_iters":${l.prIters},"pr_wall":${d(l.prWall, 3)},""" +
+    s""""pr_med_iter":${d(l.prMedIter, 4)},""" +
     s""""lp_fp":${l.lpFp},"pr_fp":${l.prFp}}}"""
 
   private def num(json: String, key: String): String =
@@ -96,7 +111,7 @@ object ScalingBench {
     * Fresh JVMs per level remove that whole state class; determinism is
     * still asserted via bit-identical cross-JVM result fingerprints.
     */
-  private def runForked(cpus: Int): Level = {
+  private def runForked(cpus: Int, nodes: Long, density: Int, reps: Int): Level = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
@@ -105,6 +120,11 @@ object ScalingBench {
       Seq("-cp", System.getProperty("java.class.path"), "graft.ScalingBench")
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_SCALE_LEVEL", cpus.toString)
+    // the protocol is self-contained: the child gets the exact parameters
+    // the parent reports, never an accident of inherited environment
+    pb.environment().put("SPARK_GRAFT_BENCH_NODES", nodes.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_DENSITY", density.toString)
+    pb.environment().put("SPARK_GRAFT_REPS", reps.toString)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
@@ -117,6 +137,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val nLarge = nSmall * 4
     val nodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "4000000").toLong
@@ -131,8 +152,29 @@ object ScalingBench {
     }
 
     val fork = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORK", "1") != "0"
-    val small = if (fork) runForked(nSmall) else runAt(nSmall, nodes, density, reps)
-    val large = if (fork) runForked(nLarge) else runAt(nLarge, nodes, density, reps)
+    if (fork) {
+      // under sbt's in-process runner java.class.path is the sbt LAUNCHER
+      // classpath and the child dies with ClassNotFoundException — catch
+      // that misconfiguration before paying for a level run
+      val cp = System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparatorChar)
+      val loadable = cp.exists { entry =>
+        new java.io.File(entry, "graft/ScalingBench.class").isFile ||
+        (entry.endsWith(".jar") && {
+          val f = new java.io.File(entry)
+          f.isFile && scala.util.Using(new java.util.jar.JarFile(f))(
+            _.getEntry("graft/ScalingBench.class") != null).getOrElse(false)
+        })
+      }
+      require(loadable,
+        "graft.ScalingBench is not on java.class.path (running under sbt's " +
+        "in-process runner?) — use scripts/run_main.sh graft.ScalingBench, " +
+        "or set SPARK_GRAFT_SCALE_FORK=0 to run both levels in this JVM")
+    }
+    val small = if (fork) runForked(nSmall, nodes, density, reps)
+                else runAt(nSmall, nodes, density, reps)
+    val large = if (fork) runForked(nLarge, nodes, density, reps)
+                else runAt(nLarge, nodes, density, reps)
 
     require(small.lpFp == large.lpFp,
       s"LP results differ across parallelism: ${small.lpFp} vs ${large.lpFp}")
@@ -144,18 +186,18 @@ object ScalingBench {
     val eff = large.combinedTput / (4.0 * small.combinedTput)
 
     def lvl(l: Level): String =
-      s"""{"cpus":${l.cpus},"lp_wall_sec":${f"${l.lpWall}%.2f"},""" +
-      s""""lp_med_iter_sec":${f"${l.lpMedIter}%.3f"},"lp_iters":${l.lpIters},""" +
-      s""""lp_edges_per_sec_per_superstep":${f"${l.lpTput}%.0f"},""" +
-      s""""pr_wall_sec":${f"${l.prWall}%.2f"},""" +
-      s""""pr_med_iter_sec":${f"${l.prMedIter}%.3f"},"pr_iters":${l.prIters},""" +
-      s""""pr_edges_per_sec_per_superstep":${f"${l.prTput}%.0f"}}"""
+      s"""{"cpus":${l.cpus},"lp_wall_sec":${d(l.lpWall, 2)},""" +
+      s""""lp_med_iter_sec":${d(l.lpMedIter, 3)},"lp_iters":${l.lpIters},""" +
+      s""""lp_edges_per_sec_per_superstep":${d(l.lpTput, 0)},""" +
+      s""""pr_wall_sec":${d(l.prWall, 2)},""" +
+      s""""pr_med_iter_sec":${d(l.prMedIter, 3)},"pr_iters":${l.prIters},""" +
+      s""""pr_edges_per_sec_per_superstep":${d(l.prTput, 0)}}"""
 
     println(
-      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
+      s"""{"metric":"scaling_efficiency","value":${d(eff, 3)},"unit":"ratio",""" +
       s""""nodes":$nodes,"density":$density,"edges":${small.edges},""" +
       s""""results_identical":true,"n_small":$nSmall,"n_large":$nLarge,""" +
-      s""""lp_eff":${f"$lpEff%.3f"},"pr_eff":${f"$prEff%.3f"},""" +
+      s""""lp_eff":${d(lpEff, 3)},"pr_eff":${d(prEff, 3)},""" +
       s""""small":${lvl(small)},"large":${lvl(large)}}""")
   }
 }

@@ -16,6 +16,7 @@ import graft.ScalingBench
   */
 object OneLevelBench {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val nodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "4000000").toLong
     val density = sys.env.getOrElse("SPARK_GRAFT_BENCH_DENSITY", "10").toInt

@@ -119,6 +119,13 @@ object GraftSqlShim {
         "was unusable at plan construction); replanning once on " +
         s"${s.sparkContext.applicationId}")
       qe = s.sessionState.executePlan(qe.logical)
+      // If the race fires AGAIN during the replan, executing would still
+      // die with the opaque NPE this guard exists to avoid — fail with the
+      // real story instead of retrying forever.
+      if (qe.executedPlan.exists(p => p.session eq null)) throw new IllegalStateException(
+        "superstep plan still captured a null session after replanning on " +
+        s"${s.sparkContext.applicationId} — the session-transition race fired " +
+        "twice; the owning SparkContext is likely being stopped concurrently")
     }
     // escape hatch for interleaved A/B probes: materialize via count()
     // (the pre-r4 action — plans an extra Aggregate + one single-task
