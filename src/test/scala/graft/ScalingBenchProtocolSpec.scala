@@ -32,6 +32,23 @@ class ScalingBenchProtocolSpec extends AnyFunSuite {
     assert(parsed.prFp === sample.prFp)
   }
 
+  test("levelJson emits dot decimals under a comma-decimal default locale") {
+    // r4 advisor finding: the f"%.3f" interpolator is locale-sensitive —
+    // under de_DE it emitted "lp_wall":94,017, which the [0-9.]+ parser
+    // silently truncated to 94, corrupting medians and the derived
+    // efficiency with no error. levelJson must be locale-independent.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = ScalingBench.levelJson(sample)
+      assert(line.contains(""""lp_wall":94.017"""), s"comma decimal leaked: $line")
+      assert(line.contains(""""pr_med_iter":5.2401"""), s"comma decimal leaked: $line")
+      val parsed = ScalingBench.parseLevel(line)
+      assert(math.abs(parsed.lpWall - sample.lpWall) < 1e-3)
+      assert(math.abs(parsed.prMedIter - sample.prMedIter) < 1e-4)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("parseLevel fails loudly on a line missing a field") {
     val broken = ScalingBench.levelJson(sample).replace("\"pr_fp\"", "\"xx\"")
     val e = intercept[IllegalStateException](ScalingBench.parseLevel(broken))
