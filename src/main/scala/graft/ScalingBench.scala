@@ -136,6 +136,18 @@ object ScalingBench {
         s"level-$cpus child printed no level line; stdout: ${out.mkString(" | ")}"))
   }
 
+  /** Field-wise min of one level's repetitions (the established min-of-reps
+    * noise estimator), with determinism asserted across all of them.
+    */
+  private[graft] def minLevel(runs: Seq[Level]): Level = {
+    require(runs.map(l => (l.cpus, l.edges, l.lpIters, l.prIters,
+      l.lpFp, l.prFp)).distinct.size == 1,
+      s"levels disagree on shape or fingerprints: $runs")
+    runs.head.copy(
+      lpWall = runs.map(_.lpWall).min, lpMedIter = runs.map(_.lpMedIter).min,
+      prWall = runs.map(_.prWall).min, prMedIter = runs.map(_.prMedIter).min)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
@@ -171,10 +183,26 @@ object ScalingBench {
         "in-process runner?) — use scripts/run_main.sh graft.ScalingBench, " +
         "or set SPARK_GRAFT_SCALE_FORK=0 to run both levels in this JVM")
     }
-    val small = if (fork) runForked(nSmall, nodes, density, reps)
-                else runAt(nSmall, nodes, density, reps)
-    val large = if (fork) runForked(nLarge, nodes, density, reps)
-                else runAt(nLarge, nodes, density, reps)
+    // Forked mode ALTERNATES the levels (N, 4N, N, 4N, …), one rep per
+    // child JVM, instead of running all N reps then all 4N reps: the host
+    // drifts 1.4× across hour-scale windows (BENCH.md §10), and with
+    // sequential levels that drift lands entirely on whichever level runs
+    // last, corrupting the ratio (measured: a fast-window 8-core level +
+    // slow-window 32-core level read as eff 0.64 on the same commit that
+    // paired at ≥0.8). Adjacent (N, 4N) children share one window, so the
+    // min-per-level estimator sees at least one drift-matched pair.
+    val (small, large) = if (fork) {
+      val pairs = (1 to reps).map { r =>
+        val s = runForked(nSmall, nodes, density, 1)
+        val l = runForked(nLarge, nodes, density, 1)
+        val pe = l.combinedTput / (4.0 * s.combinedTput)
+        System.err.println(s"[scaling] pair $r/$reps eff=${d(pe, 3)} " +
+          s"(lp ${d(l.lpTput / (4.0 * s.lpTput), 3)}, " +
+          s"pr ${d(l.prTput / (4.0 * s.prTput), 3)})")
+        (s, l)
+      }
+      (minLevel(pairs.map(_._1)), minLevel(pairs.map(_._2)))
+    } else (runAt(nSmall, nodes, density, reps), runAt(nLarge, nodes, density, reps))
 
     require(small.lpFp == large.lpFp,
       s"LP results differ across parallelism: ${small.lpFp} vs ${large.lpFp}")

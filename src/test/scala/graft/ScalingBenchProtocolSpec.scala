@@ -55,6 +55,18 @@ class ScalingBenchProtocolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pr_fp"))
   }
 
+  test("minLevel takes field-wise timing mins and asserts determinism") {
+    val faster = sample.copy(lpWall = 90.0, lpMedIter = 9.5,
+      prWall = 430.0, prMedIter = 5.1)
+    val m = ScalingBench.minLevel(Seq(sample, faster))
+    assert(m.lpWall === 90.0 && m.lpMedIter === 9.5)
+    assert(m.prWall === 421.552 && m.prMedIter === 5.1)
+    assert(m.lpFp === sample.lpFp)
+    // a rep with a different result fingerprint must be refused
+    val bad = faster.copy(prFp = 1L)
+    intercept[IllegalArgumentException](ScalingBench.minLevel(Seq(sample, bad)))
+  }
+
   test("derived throughput/efficiency math is consistent on parsed levels") {
     val small = ScalingBench.parseLevel(ScalingBench.levelJson(sample))
     val large = small.copy(cpus = 32, lpMedIter = small.lpMedIter / 4.0,
