@@ -67,6 +67,21 @@ class ScalingBenchProtocolSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ScalingBench.minLevel(Seq(sample, bad)))
   }
 
+  test("executor-mode efficiency sums child throughputs against workers × solo") {
+    // four children each at exactly solo speed ⇒ eff 1.0 on both algorithms
+    val ideal = ScalingBench.execEff(sample, Seq.fill(4)(sample))
+    assert(math.abs(ideal._1 - 1.0) < 1e-9 && math.abs(ideal._2 - 1.0) < 1e-9)
+    // children at 2× solo per-superstep time ⇒ eff 0.5
+    val halved = sample.copy(
+      lpMedIter = sample.lpMedIter * 2, prMedIter = sample.prMedIter * 2)
+    val degraded = ScalingBench.execEff(sample, Seq.fill(4)(halved))
+    assert(math.abs(degraded._1 - 0.5) < 1e-9 && math.abs(degraded._2 - 0.5) < 1e-9)
+    // a child whose per-vertex results differ from the solo run is refused
+    val bad = sample.copy(lpFp = 1L)
+    intercept[IllegalArgumentException](
+      ScalingBench.execEff(sample, Seq(sample, bad)))
+  }
+
   test("derived throughput/efficiency math is consistent on parsed levels") {
     val small = ScalingBench.parseLevel(ScalingBench.levelJson(sample))
     val large = small.copy(cpus = 32, lpMedIter = small.lpMedIter / 4.0,
