@@ -71,9 +71,10 @@ object ConnectedComponents {
     def step(state: DataFrame, iter: Int): DataFrame = {
       val frontier =
         (if (iter == 0) state else state.filter($"_chg")).select($"id", $"comp")
-      val msgs = und.join(frontier, und("src") === frontier("id"))
+      val msgs = und.join(Superstep.shj(frontier), und("src") === frontier("id"))
         .groupBy(und("dst").as("id")).agg(min($"comp").as("m"))
-      state.select($"id", $"comp").join(msgs, Seq("id"), "left_outer")
+      state.select($"id", $"comp")
+        .join(Superstep.shj(msgs), Seq("id"), "left_outer")
         .select(
           $"id",
           least($"comp", $"m").as("comp"),
@@ -168,7 +169,7 @@ object ConnectedComponents {
         // every neighbour v > u re-points to m(u)
         val bidir = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v")))
         val minsL = bidir.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
-        val ls = bidir.join(minsL, "u")
+        val ls = bidir.join(Superstep.shj(minsL), "u")
           .filter($"v" > $"u")
           .select($"v".as("u"), $"m".as("v"))
           .filter($"u" =!= $"v")
@@ -176,7 +177,7 @@ object ConnectedComponents {
         // small-star: all edges now point large→small; m(u) = min(N(u) ∪ {u});
         // u and its neighbours except m re-point to m
         val minsS = ls.groupBy($"u").agg(min($"v").as("m"))
-        val ss = ls.join(minsS, "u")
+        val ss = ls.join(Superstep.shj(minsS), "u")
           .filter($"v" =!= $"m")
           .select($"v".as("u"), $"m".as("v"))
           .union(minsS.select($"u", $"m".as("v")))

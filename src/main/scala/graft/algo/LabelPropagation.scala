@@ -27,17 +27,25 @@ import graft.model._
   *  - stop when changed ≤ threshold (default 0) or maxIter (default 50)
   *
   * Physical plan per superstep (2 exchanges on the state, none on the
-  * pre-partitioned edges):
+  * pre-partitioned edges, zero sorts):
   *   gather  = packedEdges ⋈ labels on dst          (labels shuffled to the
-  *             persisted edge partitioning — sort-merge/shuffle-hash; at
-  *             cluster scale hub skew is handled by AQE skew join, and the
-  *             two-level vote aggregation below is salt-compatible since
-  *             label counts are associative)
+  *             persisted edge partitioning and hash-joined — shuffled-hash
+  *             forced by Superstep.shj, the broadcast ban otherwise
+  *             degrades the join to a per-superstep sort-merge; explicit
+  *             hub salting via SkewJoin, vote levels are salt-compatible
+  *             since label counts are associative)
   *   vote    = repartition(src) → groupBy(src, label).sum(w)
-  *             → groupBy(src).max(struct(cnt,-label)) — both agg levels
-  *             chained codegen HashAggregates in one post-shuffle stage
-  *   apply   = state ⟗ votes on id, seeded rows keep their label, changed
-  *             flag folded into the same projection (no extra action).
+  *             → groupBy(src).max((cnt<<32)|(2^32-1-label)) — both agg
+  *             levels chained codegen HashAggregates in one post-shuffle
+  *             stage (the packed-long argmax replaces max(struct(...)),
+  *             whose struct buffer forced a SortAggregate; struct fallback
+  *             when labels exceed u32 or counts exceed 31 bits); when every
+  *             multiplicity is 1 (deduplicated edge table) the w column is
+  *             dropped from the exchange and sum(w) becomes count(*) —
+  *             bit-identical votes, ~25% narrower shuffle rows
+  *   apply   = state ⟗ votes on id (shuffled-hash, votes build), seeded
+  *             rows keep their label, changed flag folded into the same
+  *             projection (no extra action).
   */
 object LabelPropagation {
 
@@ -93,7 +101,31 @@ object LabelPropagation {
         packedRaw, "dst", "src", k, cfg.hubDegreeThreshold))
     val packedSession = saltPlan.map(_.salted).getOrElse(
       packedRaw.repartition($"dst").persist(StorageLevel.MEMORY_AND_DISK))
-    val edgeCount = packedSession.agg(sum($"w")).head().getLong(0)
+    val eAgg = packedSession.agg(
+      coalesce(sum($"w"), lit(0L)),
+      count(lit(1)),
+      coalesce(max($"w"), lit(1L))).head()
+    val edgeCount = eAgg.getLong(0)
+    // Near-unit multiplicities (Σw ≤ 1.01·rows — the common case: a
+    // deduplicated or near-deduplicated edge table; the reference's random
+    // generator leaves only birthday-collision duplicates, ~50 in 40M) let
+    // the adjacency expand those rare duplicates back into duplicate ROWS
+    // once at setup and drop the w column everywhere: the vote's sum(w)
+    // becomes count(*) over multiplicity-many rows — identical integer
+    // votes. That narrows the ONE per-superstep exchange (the raw vote
+    // rows — map-side combine cannot compress them: at degree d over p
+    // shuffle partitions a given (src,label) pair appears ~d/p ≤ 1 times
+    // per map task) from (src,label,w) to (src,label) — 24 vs 32 bytes of
+    // unsafe-row payload, ~25% less shuffle write+read DRAM traffic on the
+    // loop's hot path, plus a narrower cached adjacency. Skipped under
+    // salting (the salted table is built/persisted inside SkewJoin with w;
+    // hub-skewed graphs keep the weighted vote). The max(w) guard bounds
+    // the per-row array_repeat. `graft.lp.keepw=1` forces the weighted
+    // shape (A/B probe hatch).
+    val unitW = saltPlan.isEmpty &&
+      eAgg.getLong(0) <= eAgg.getLong(1) + eAgg.getLong(1) / 100 &&
+      eAgg.getLong(2) <= 4096L &&
+      !sys.props.get("graft.lp.keepw").contains("1")
 
     // tiny vertex states run the whole loop at a narrower shuffle width
     // (Superstep.autoWidth — 8-way measured 2.3× faster at 2K vertices);
@@ -114,15 +146,26 @@ object LabelPropagation {
           Superstep.autoWidth(spark, derivedVertexCount)
         case None => None
       }
-    val packed = loopWidth match {
-      case Some(w) =>
-        val p = packedSession.repartition(w, $"dst")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
+    // one setup-time rebuild of the persisted adjacency when either the
+    // loop width narrows or the near-unit expansion drops the w column; the
+    // explicit repartition($"dst") keeps the cached plan exchange-rooted so
+    // the gather join stays provably co-partitioned with the state
+    val packed =
+      if (loopWidth.isEmpty && !unitW) packedSession
+      else {
+        val base =
+          if (unitW) packedSession.select($"src", $"dst",
+              explode(array_repeat(lit(0), $"w".cast("int"))).as("_d"))
+            .select($"src", $"dst")
+          else packedSession
+        val q = (loopWidth match {
+          case Some(w) => base.repartition(w, $"dst")
+          case None => base.repartition($"dst")
+        }).persist(StorageLevel.MEMORY_AND_DISK)
+        q.count()
         packedSession.unpersist(blocking = false)
-        p
-      case None => packedSession
-    }
+        q
+      }
 
     val dedupedSeedsAll = graft.io.EdgeTsv.dedupSeeds(seeds)
     // unsupervised ⇔ the RAW seed map is empty (lib.rs:160 checks
@@ -167,6 +210,34 @@ object LabelPropagation {
         vertices.join(dedupedSeeds, $"id" === $"node", "left_outer")
           .select($"id", $"label", $"label".isNotNull.as("seeded"))
       }
+
+    // LP only ever propagates labels that exist in the INITIAL state, so the
+    // label domain is fixed at setup: unsupervised = the vertex-id range,
+    // seeded = the (tiny, persisted) seed label set. When every label fits
+    // in an unsigned 32-bit lane and every possible vote count fits in 31
+    // bits (cnt ≤ Σw = edgeCount), the vote's argmax packs into ONE long —
+    // (cnt << 32) | (2^32-1-label) — whose max() hash-aggregates: the
+    // max(struct(cnt,-label)) form has an immutable struct buffer, which
+    // HashAggregate cannot hold, so Spark silently planned a SortAggregate
+    // that re-SORTED the per-partition vote stream every superstep (caught
+    // in the r5 plan audit together with the SMJ degradation — see
+    // Superstep.shj). Identical integer argmax → bit-identical labels;
+    // `graft.lp.structvote=1` forces the struct shape (A/B probe hatch).
+    val labelBounds: (Long, Long) =
+      if (unsupervised) numNodes match {
+        case Some(n) => (0L, n - 1)
+        case None =>
+          val r = vertices.agg(
+            coalesce(min($"id"), lit(0L)), coalesce(max($"id"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+      } else {
+        val r = dedupedSeeds.agg(
+          coalesce(min($"label"), lit(0L)), coalesce(max($"label"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val packedVote = labelBounds._1 >= 0L && labelBounds._2 < (1L << 32) &&
+      edgeCount < (1L << 31) &&
+      !sys.props.get("graft.lp.structvote").contains("1")
     // enter the loop at the loop width (see PageRank.init — a session-width
     // init otherwise forces a contrib re-exchange every superstep)
     val init = loopWidth.fold(init0)(w => init0.repartition(w, $"id"))
@@ -174,14 +245,15 @@ object LabelPropagation {
     def step(state: DataFrame, iter: Int): DataFrame = {
       // P6 UNKNOWN filter: unlabeled vertices contribute nothing
       val labels = state.filter($"label".isNotNull).select($"id", $"label")
-      val gather = saltPlan match {
-        case Some(p) =>
-          graft.graph.SkewJoin.joinState(p, labels, "id")
-            .select($"src", $"label", $"w")
+      val joined = saltPlan match {
+        case Some(p) => graft.graph.SkewJoin.joinState(p, labels, "id")
         case None =>
-          packed.join(labels, packed("dst") === labels("id"))
-            .select(packed("src"), labels("label"), packed("w"))
+          packed.join(Superstep.shj(labels), packed("dst") === labels("id"))
       }
+      // unit multiplicities ⇒ w is constant 1: keep it out of the exchange
+      val gather =
+        if (unitW) joined.select($"src", $"label")
+        else joined.select($"src", $"label", $"w")
       // single-exchange majority, fully codegen: repartition the gather
       // output by src once, then BOTH aggregation levels (label counts,
       // then max(count, min-label tiebreak)) run in the same post-shuffle
@@ -193,13 +265,25 @@ object LabelPropagation {
       // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
       // at 4M vertices that sorted all 40M gather rows every superstep,
       // ~20× the task time of this plan.
-      val votes = gather
+      val counted = gather
         .repartition($"src")
-        .groupBy($"src", $"label").agg(sum($"w").as("cnt"))
-        .groupBy($"src")
-        .agg(max(struct($"cnt", (-$"label").as("neg"))).as("m"))
-        .select($"src".as("id"), (-$"m.neg").as("vote"))
-      state.as("s").join(votes.as("v"), Seq("id"), "left_outer")
+        .groupBy($"src", $"label")
+        .agg((if (unitW) count(lit(1)) else sum($"w")).as("cnt"))
+      val votes =
+        if (packedVote)
+          // hash-aggregable single-long argmax: bigger cnt wins, ties break
+          // to the SMALLER label (2^32-1-label is larger for smaller label)
+          counted.groupBy($"src")
+            .agg(max(shiftleft($"cnt", 32) +
+              (lit((1L << 32) - 1) - $"label")).as("m"))
+            .select($"src".as("id"),
+              (lit((1L << 32) - 1) - $"m".bitwiseAND(lit((1L << 32) - 1)))
+                .as("vote"))
+        else
+          counted.groupBy($"src")
+            .agg(max(struct($"cnt", (-$"label").as("neg"))).as("m"))
+            .select($"src".as("id"), (-$"m.neg").as("vote"))
+      state.as("s").join(Superstep.shj(votes.as("v")), Seq("id"), "left_outer")
         .select(
           $"id",
           when($"s.seeded" === true, $"s.label")
@@ -214,9 +298,18 @@ object LabelPropagation {
 
     // input identity for checkpoint manifests: adjacency ⊕ seeds (computed
     // only when durable checkpointing is on — one agg over cached data)
-    val inputFp = cfg.checkpointDir.map(_ =>
-      ConnectedComponents.fingerprint64(packed.select($"src", $"dst", $"w")) ^
-        ConnectedComponents.fingerprint64(dedupedSeeds.toDF()))
+    // fingerprint the logical multigraph (src,dst,w): under the near-unit
+    // expansion the w column is re-derived by re-grouping — duplicate ROWS
+    // must never reach the XOR-fold (identical rows cancel pairwise, see
+    // fingerprint64's caveat), and re-grouping keeps the fingerprint equal
+    // to the weighted representation's, so manifests stay interchangeable
+    val inputFp = cfg.checkpointDir.map { _ =>
+      val edgeRows =
+        if (unitW) packed.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        else packed.select($"src", $"dst", $"w")
+      ConnectedComponents.fingerprint64(edgeRows) ^
+        ConnectedComponents.fingerprint64(dedupedSeeds.toDF())
+    }
     // superstep batching is forced OFF for LP: its step references the
     // state in two structurally DIFFERENT subtrees (gather's filtered
     // projection vs the apply join), and the vote's repartition + chained

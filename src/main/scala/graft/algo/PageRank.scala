@@ -100,12 +100,14 @@ object PageRank {
         .filter($"delta" > tol).select($"id", $"delta")
       val scattered = saltPlan match {
         case Some(p) => graft.graph.SkewJoin.joinState(p, frontier, "id")
-        case None => contrib.join(frontier, contrib("src") === frontier("id"))
+        case None =>
+          contrib.join(Superstep.shj(frontier), contrib("src") === frontier("id"))
       }
       val msgs = scattered
         .groupBy(col("dst").as("id"))
         .agg(sum($"delta" * $"cw").as("msg"))
-      state.select($"id", $"rank", $"delta").join(msgs, Seq("id"), "left_outer")
+      state.select($"id", $"rank", $"delta")
+        .join(Superstep.shj(msgs), Seq("id"), "left_outer")
         .select(
           $"id",
           when($"msg".isNotNull, $"rank" + lit(1.0 - resetProb) * $"msg")

@@ -113,10 +113,12 @@ object Paths {
       val frontier =
         (if (iter == 0) state.filter($"dist" < Double.PositiveInfinity)
          else state.filter($"_chg")).select($"id", $"dist")
-      val msgs = packed.join(frontier, packed("src") === frontier("id"))
+      val msgs = packed
+        .join(Superstep.shj(frontier), packed("src") === frontier("id"))
         .groupBy(packed("dst").as("id"))
         .agg(min($"dist" + $"weight").as("m"))
-      state.select($"id", $"dist").join(msgs, Seq("id"), "left_outer")
+      state.select($"id", $"dist")
+        .join(Superstep.shj(msgs), Seq("id"), "left_outer")
         .select(
           $"id",
           least($"dist", $"m").as("dist"),

@@ -103,6 +103,28 @@ object Superstep {
     */
   type Step = (DataFrame, Int) => DataFrame
 
+  /** Mark `df` as the BUILD side of a shuffled-hash join (loop hot paths
+    * only). The loop session prefers shuffled-hash over sort-merge, but
+    * Spark's JoinSelection only *considers* SHJ when `canBuildLocalHashMap`
+    * holds — a check against `autoBroadcastJoinThreshold`, which the loop
+    * pins to -1 to ban frontier re-broadcasts. With the threshold negative
+    * the check is always false, so every loop join silently degraded to
+    * SortMergeJoin: each superstep re-SORTED the persisted multi-million-row
+    * adjacency, the state, and the vote/message stream (caught in the r5
+    * plan audit; measured on LP at 1.1-2.0× per-superstep across
+    * drift-paired probe runs, PR within drift noise — BENCH.md §12). The
+    * explicit hint forces SHJ with this side as the build map regardless of
+    * size estimates while keeping broadcasts banned. The build side is
+    * always the per-partition vertex state / message slice — bounded by
+    * |V|/shuffle-partitions, the same per-worker-memory assumption the
+    * reference's dense label arrays make globally; size partitions
+    * accordingly at scale. `graft.loop.legacyplan=1` restores the unhinted
+    * planner choice (A/B probe hatch).
+    */
+  def shj(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.loop.legacyplan").contains("1")) df
+    else df.hint("shuffle_hash")
+
   /** The thread-local SparkContext property that tags every job a loop
     * submits with its owning loop's id (local properties are inherited by
     * the submitting thread's jobs only, so concurrent loops on different

@@ -82,7 +82,11 @@ object SkewJoin {
       .withColumn("_salt",
         explode(when(col("_hot") === true, salts).otherwise(array(lit(0)))))
       .drop("_hot")
-    p.salted.join(replicated,
+    // replicated state = SHJ build side: joinState only runs on loop hot
+    // paths, where broadcasts are banned (see Superstep.shj — without the
+    // hint the ban also vetoes shuffled-hash and the join degrades to a
+    // per-superstep sort-merge over the salted adjacency)
+    p.salted.join(graft.algo.Superstep.shj(replicated),
         p.salted(p.keyCol) === replicated(stateKey) &&
           p.salted("_salt") === replicated("_salt"))
       .drop(p.salted("_salt")).drop(replicated("_salt"))

@@ -242,6 +242,58 @@ class LabelPropagationSpec extends SparkSpec {
     agg shouldBe codegen
   }
 
+  test("near-unit expansion: narrow vote == weighted vote, dups still weighted") {
+    // ring edges are distinct by construction → the narrow (w-less) vote
+    // path engages; appending one duplicated edge (multiplicity 2, 0.07%
+    // of rows — inside the 1% near-unit gate) must still weight that vote
+    // twice via the setup-time row expansion
+    val ring = (0L until 500L).flatMap(i =>
+      Seq(1L, 2L, 3L).map(o => (i, (i + o) % 500)))
+    val withDup = ring ++ Seq((7L, 9L))
+    val seeds = Map(0L -> 100L, 250L -> 300L)
+    def runWith(keepw: Boolean) = {
+      if (keepw) sys.props("graft.lp.keepw") = "1"
+      try {
+        val res = LabelPropagation.run(
+          spark.createDataset(withDup.map { case (s, d) => Edge(s, d) }),
+          spark.createDataset(seeds.toSeq.map { case (k, v) => Seed(k, v) }))
+        val m = res.labels.collect().map(v => v.id -> v.label).toMap
+        res.release()
+        (m, res.iterations, res.converged)
+      } finally sys.props.remove("graft.lp.keepw")
+    }
+    val narrow = runWith(keepw = false)
+    val weighted = runWith(keepw = true)
+    narrow shouldBe weighted
+    val oracle = SerialOracles
+      .labelPropagation(500, withDup, seeds, DefaultMaxIter)
+      .zipWithIndex.collect { case (Some(l), i) => i.toLong -> l }.toMap
+    narrow._1 shouldBe oracle
+  }
+
+  test("checkpoint fingerprints interchange between vote representations") {
+    val dir = java.nio.file.Files.createTempDirectory("lp-vw-chk").toString
+    val edges = spark.createDataset(
+      (0L until 120L).flatMap(i => Seq((i, (i + 1) % 120), (i, (i + 7) % 120)))
+        .map { case (s, d) => Edge(s, d) })
+    val seeds = spark.createDataset(Seq(Seed(0L, 100L), Seed(60L, 200L)))
+    val cfg = model.RunConfig(
+      checkpointDir = Some(dir), checkpointEvery = 1, maxIter = 2)
+    // write checkpoints under the narrow representation, stop unconverged
+    val first = LabelPropagation.run(edges, seeds, cfg)
+    first.converged shouldBe false
+    first.release()
+    // resume under the WEIGHTED representation: the manifest fingerprint is
+    // computed over the re-grouped logical (src,dst,w) multigraph, so the
+    // two physical representations must accept each other's checkpoints
+    sys.props("graft.lp.keepw") = "1"
+    try {
+      val resumed = LabelPropagation.run(edges, seeds, cfg.copy(maxIter = 50))
+      resumed.converged shouldBe true
+      resumed.release()
+    } finally sys.props.remove("graft.lp.keepw")
+  }
+
   test("label histogram reports 20 smallest labels with counts") {
     val ds = spark.createDataset(triangle.map { case (s, d) => Edge(s, d) })
     val res = LabelPropagation.run(ds, spark.emptyDataset[Seed])
