@@ -72,11 +72,19 @@ object SparkEntry {
     "a2_seed_dedup" -> ((s, dir) => table(s, dir, "orders")
       .groupBy(col("o_custkey").as("node"))
       .agg(min(col("o_orderkey")).as("label"))),
+    // packed-long argmax (max cnt, ties to smaller dst) — the same
+    // hash-aggregable shape as LabelPropagation's vote: max(struct(...))
+    // has an immutable struct buffer and silently plans a SortAggregate.
+    // Safe unconditionally here: dst < Tables.VertexMod fits u32 and
+    // cnt ≤ |lineitem| fits 31 bits at every test SF.
     "a1_majority_vote" -> ((s, dir) => edges(s, dir)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("src"))
-      .agg(max(struct(col("cnt"), (-col("dst")).as("neg"))).as("m"))
-      .select(col("src"), (-col("m.neg")).as("vote"))),
+      .agg(max(shiftleft(col("cnt"), 32) +
+        (lit((1L << 32) - 1) - col("dst"))).as("m"))
+      .select(col("src"),
+        (lit((1L << 32) - 1) - col("m").bitwiseAND(lit((1L << 32) - 1)))
+          .as("vote"))),
     "a6_label_stats" -> ((s, dir) => seeds(s, dir)
       .agg(count(lit(1)).as("labeled_nodes"),
         countDistinct(col("label")).as("distinct_labels"))),

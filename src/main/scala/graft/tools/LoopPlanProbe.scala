@@ -57,6 +57,19 @@ object LoopPlanProbe {
           val f = ConnectedComponents.fingerprint64(t.value.components.toDF())
           t.value.release()
           (t.sec, t.value.iterations, m, f)
+        case "star" =>
+          // the driver bench's high-diameter shape: star contraction on a
+          // 1M-node path graph (Bench.scala cc_star_path1m)
+          import spark.implicits._
+          val path = spark.range(999999L)
+            .select($"id".as("src"), ($"id" + 1L).as("dst"))
+            .as[graft.model.Edge]
+          val t = Bench.timed(ConnectedComponents.runStar(path))
+          val m = t.value.stats.map(_.computeMs).sorted
+            .apply(t.value.stats.size / 2)
+          val f = ConnectedComponents.fingerprint64(t.value.components.toDF())
+          t.value.release()
+          (t.sec, t.value.iterations, m, f)
       }
       println(f"[probe] rep=$r variant=$variant algo=$algo wall=$wall%.1fs " +
         f"iters=$iters medIterMs=$med fp=$fp")
