@@ -300,4 +300,62 @@ class LabelPropagationSpec extends SparkSpec {
     val hist = LabelPropagation.labelHistogram(res.labels).collect()
     hist.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((0L, 3L))
   }
+
+  // Tie-heavy topology: a bipartite-ish graph where most vertices see an
+  // exact vote tie every superstep, so the argmax's min-label tie-break is
+  // on the critical path of every assignment. Exercised under both vote
+  // representations and both loop-join plan families.
+  private def tieHeavy: (Seq[(Long, Long)], Map[Long, Long]) = {
+    // each right-side vertex r in [100,160) gets edges from exactly two
+    // left-side seeds chosen so their labels differ → every vote is 1-vs-1
+    val edges = (0L until 60L).flatMap { i =>
+      val r = 100L + i
+      Seq((2 * (i % 7), r), (2 * ((i + 3) % 7) + 1, r),
+          (r, 2 * (i % 7)), (r, 2 * ((i + 3) % 7) + 1))
+    }
+    val seeds = (0L until 14L).map(i => i -> (500L + i * 3)).toMap
+    (edges, seeds)
+  }
+
+  test("packed-long argmax == struct argmax on a tie-heavy graph") {
+    // the default vote packs (cnt<<32)|(2^32-1-label) into one long so the
+    // aggregation hash-aggregates; graft.lp.structvote=1 restores the
+    // max(struct(cnt,-label)) SortAggregate shape. Same ties, same labels.
+    val (edges, seeds) = tieHeavy
+    def runWith(struct: Boolean) = {
+      if (struct) sys.props("graft.lp.structvote") = "1"
+      try {
+        val res = LabelPropagation.run(
+          spark.createDataset(edges.map { case (s, d) => Edge(s, d) }),
+          spark.createDataset(seeds.toSeq.map { case (k, v) => Seed(k, v) }))
+        val m = res.labels.collect().map(v => v.id -> v.label).toMap
+        val out = (m, res.iterations, res.converged)
+        res.release()
+        out
+      } finally sys.props.remove("graft.lp.structvote")
+    }
+    val packed = runWith(struct = false)
+    val structv = runWith(struct = true)
+    packed shouldBe structv
+  }
+
+  test("legacy (unhinted) loop-join plans produce identical labels") {
+    // graft.loop.legacyplan=1 drops the shuffle_hash hints, letting Spark
+    // fall back to SortMergeJoin in every superstep — plan-only toggle,
+    // results must be bit-identical
+    val (edges, seeds) = tieHeavy
+    def runWith(legacy: Boolean) = {
+      if (legacy) sys.props("graft.loop.legacyplan") = "1"
+      try {
+        val res = LabelPropagation.run(
+          spark.createDataset(edges.map { case (s, d) => Edge(s, d) }),
+          spark.createDataset(seeds.toSeq.map { case (k, v) => Seed(k, v) }))
+        val m = res.labels.collect().map(v => v.id -> v.label).toMap
+        val out = (m, res.iterations, res.converged)
+        res.release()
+        out
+      } finally sys.props.remove("graft.loop.legacyplan")
+    }
+    runWith(legacy = false) shouldBe runWith(legacy = true)
+  }
 }
