@@ -19,25 +19,29 @@ import java.nio.charset.StandardCharsets
   *
   * Per-superstep cost model (this loop is the engine's hot path — every
   * avoidable fixed cost here divides directly into scaling efficiency):
-  *  - exactly ONE job per superstep, and the cheapest possible one: the
-  *    persisted new state's `toRdd` is consumed under a SQL execution id
-  *    ([[org.apache.spark.sql.GraftSqlShim.materializeObserved]]), which
-  *    materializes the cache and fires every per-step CollectMetrics
-  *    accumulator; changed/row counts are then read SYNCHRONOUSLY from
-  *    the accumulators. (`count()` + `Observation` cost one extra
-  *    Aggregate stage plus an async listener-bus round-trip per
-  *    superstep — ~0.1 s of scaffolding at converged-frontier sizes,
-  *    measured in BENCH.md §9);
-  *  - logical-plan lineage is truncated EVERY step at zero execution cost
-  *    by re-rooting the state on its own cached `InMemoryRelation` leaf
-  *    ([[org.apache.spark.sql.GraftSqlShim.cachedView]]; the `LogicalRDD`
-  *    wrapper `truncatedView` remains only as the fallback for
-  *    unregistered plans and the `graft.state.leaf=rdd` probe hatch) — a
-  *    step references its input twice, so an untruncated plan doubles per
-  *    superstep and Catalyst analysis comes to dominate small iterations;
-  *  - the RDD-level DAG (which grows a few nodes per superstep and rides
-  *    along in every task closure) is truncated with a real
-  *    `localCheckpoint` only every `localCheckpointEvery` steps;
+  *  - exactly ONE job per superstep, and the cheapest possible one
+  *    ([[org.apache.spark.sql.GraftSqlShim.materializeLocalCheckpointed]],
+  *    the r5 default "ckpt" leaf): the step plan executes once, rows are
+  *    defensively copied once and stored as deserialized MEMORY_AND_DISK
+  *    blocks, `localCheckpoint` is marked BEFORE the job so the job's own
+  *    blocks become the checkpoint — plan-lineage AND RDD-lineage are
+  *    truncated every superstep at zero extra cost, the state is re-rooted
+  *    on a flat `LogicalRDD` over stable rows (no columnar encode at
+  *    materialization, no decode on the two per-superstep scans), and
+  *    every per-step CollectMetrics accumulator fires in the same job and
+  *    is read SYNCHRONOUSLY. Measured vs the r4 IMR flow (BENCH.md §13):
+  *    per-superstep medians 114-145 vs 166-186 ms at the 2K-vertex /
+  *    600K-edge derived graph, PR 411-469 vs 499-525 ms at 100K
+  *    vertices, LP pairwise faster in both drift windows at 1M-4M;
+  *  - the r4 flow remains as `graft.state.leaf=imr` (columnar
+  *    `InMemoryRelation` leaf via
+  *    [[org.apache.spark.sql.GraftSqlShim.cachedView]], a separate
+  *    `Dataset.localCheckpoint` job every `localCheckpointEvery` steps —
+  *    it pays a columnar encode + two decodes per superstep, and its
+  *    driver/task costs GROW between truncations: build 42→372 ms and
+  *    exec 318→1038 ms across one 8-step window at 100K vertices) and
+  *    `=rdd` (flat view with per-scan defensive copy) — both probe
+  *    hatches, each the measured best of its round;
   *  - loop-specific SQL confs (AQE off — its runtime coalescing breaks the
   *    hash-partitioning match between the persisted edge side and the
   *    evolving state side; shuffled-hash over sort-merge — per-superstep
@@ -302,13 +306,26 @@ object Superstep {
     session.sparkContext.addSparkListener(listener)
     session.sparkContext.setLocalProperty(LoopIdProperty, loopId)
 
+    // state-leaf mode (BENCH.md §9/§13, measured): "ckpt" (default) fuses
+    // materialize + defensive copy + localCheckpoint into the ONE superstep
+    // job and re-roots the state on a flat LogicalRDD over the checkpointed
+    // rows ([[GraftSqlShim.materializeLocalCheckpointed]]); "imr" persists
+    // the state as a columnar InMemoryRelation with a separate
+    // Dataset.localCheckpoint job every `localCheckpointEvery` steps; "rdd"
+    // is imr's flat-view variant (per-scan defensive copy). The probe
+    // hatches exist because each was the measured best of its round.
+    val leafMode = sys.props.get("graft.state.leaf")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_LEAF")).getOrElse("ckpt")
+    val ckptLeaf = leafMode == "ckpt"
     // initial state: materialized once, lineage truncated
     var state = GraftSqlShim.bind(loopSession, init).localCheckpoint(eager = true)
     GraftSqlShim.waitListenerBus(session)
     listener.drain() // init stages are not superstep phases
-    // the dataset owning `state`'s cached/checkpointed blocks (a truncated
-    // view is only a window onto its backing iteration's cache)
-    var backing: DataFrame = state
+    // frees the blocks backing `state` (a truncated view is only a window
+    // onto its backing iteration's cached/checkpointed blocks)
+    var releaseBacking: () => Unit = {
+      val b = state; () => b.unpersist(blocking = false)
+    }
     var iter = startIter
     var converged = false
     var stats = List.empty[IterStats]
@@ -341,7 +358,10 @@ object Superstep {
           .observe(obsNames(i - iter), count(lit(1)).as("rows"),
             sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
       }
-      val next = composed.persist(StorageLevel.MEMORY_AND_DISK)
+      // ckpt mode materializes into checkpointed row blocks instead — no
+      // cache-manager registration, no columnar encode/decode
+      val next = if (ckptLeaf) composed
+        else composed.persist(StorageLevel.MEMORY_AND_DISK)
       val tBuilt = System.nanoTime()
       // force optimization + physical planning + codegen eagerly so the
       // timer split can attribute plan time separately from job execution
@@ -360,7 +380,10 @@ object Superstep {
       // count() Aggregate plan, no extra single-task final stage, no
       // Observation listener-bus round-trip (measured ~0.1 s/superstep of
       // job scaffolding at converged-frontier sizes, BENCH.md §9)
-      val observed = GraftSqlShim.materializeObserved(next)
+      val ckptOut = if (ckptLeaf)
+        Some(GraftSqlShim.materializeLocalCheckpointed(next)) else None
+      val observed = ckptOut.map(_._3)
+        .getOrElse(GraftSqlShim.materializeObserved(next))
       session.sparkContext.setJobDescription(null)
       val tCounted = System.nanoTime()
       // per-step (changed, rows), all fired by the single job above
@@ -401,27 +424,34 @@ object Superstep {
       // the RDD DAG rides along in every task closure and a 75-deep chain
       // overflows the task-deserialization stack (measured), and it also
       // resets the IMR string growth.
-      // graft.state.leaf / SPARK_GRAFT_STATE_LEAF = rdd is the escape hatch.
-      val rddLeaf = sys.props.get("graft.state.leaf")
-        .orElse(sys.env.get("SPARK_GRAFT_STATE_LEAF")).contains("rdd")
-      val tookLocalCheckpoint = (doneIter - startIter) % localCheckpointEvery < k
-      val (view, newBacking) =
-        if (tookLocalCheckpoint) {
-          val lc = next.localCheckpoint(eager = true)
-          next.unpersist(blocking = false)
-          if (rddLeaf) (lc, lc)
-          else {
-            lc.persist(StorageLevel.MEMORY_AND_DISK)
-            (GraftSqlShim.cachedView(lc), lc)
+      // graft.state.leaf / SPARK_GRAFT_STATE_LEAF selects the mode; the
+      // default "ckpt" leaf never reaches this block's checkpoint branch —
+      // its materializing job already stored + truncated the state.
+      val (view, newRelease): (DataFrame, () => Unit) = ckptOut match {
+        case Some((v, rel, _)) => (v, rel)
+        case None =>
+          val rddLeaf = leafMode == "rdd"
+          val tookLocalCheckpoint =
+            (doneIter - startIter) % localCheckpointEvery < k
+          val (v, nb) =
+            if (tookLocalCheckpoint) {
+              val lc = next.localCheckpoint(eager = true)
+              next.unpersist(blocking = false)
+              if (rddLeaf) (lc, lc)
+              else {
+                lc.persist(StorageLevel.MEMORY_AND_DISK)
+                (GraftSqlShim.cachedView(lc), lc)
+              }
+            } else if (rddLeaf) (GraftSqlShim.truncatedView(next), next)
+            else (GraftSqlShim.cachedView(next), next)
+          if (tookLocalCheckpoint) {
+            // only the localCheckpoint path runs a job whose stages must be
+            // discarded; cachedView/truncatedView spawn none, so the common
+            // iteration skips this second listener-bus barrier entirely
+            GraftSqlShim.waitListenerBus(session)
+            listener.drain()
           }
-        } else if (rddLeaf) (GraftSqlShim.truncatedView(next), next)
-        else (GraftSqlShim.cachedView(next), next)
-      if (tookLocalCheckpoint) {
-        // only the localCheckpoint path runs a job whose stages must be
-        // discarded; cachedView/truncatedView spawn none, so the common
-        // iteration skips this second listener-bus barrier entirely
-        GraftSqlShim.waitListenerBus(session)
-        listener.drain()
+          (v, () => nb.unpersist(blocking = false))
       }
       if (loopTimers)
         System.err.println(f"[loop] iter=$doneIter total=${(System.nanoTime() - t0) / 1e6}%.0fms")
@@ -459,9 +489,9 @@ object Superstep {
       }
       val checkpointMs = (System.nanoTime() - t1) / 1000000L
 
-      backing.unpersist(blocking = false)
+      releaseBacking()
       state = view
-      backing = newBacking
+      releaseBacking = newRelease
       iter = effIter
       lastChanged = chgEff
       // one IterStats per counted superstep: exact per-step changed/rows
@@ -483,10 +513,9 @@ object Superstep {
     // rebind the final state to the CALLER's session: downstream one-shot
     // queries (result aggregations, orderBys, sinks) must plan under the
     // caller's confs, not the loop-pinned ones (AQE off, broadcast ban)
-    val finalBacking = backing
     LoopResult(GraftSqlShim.bind(session, state.drop("_chg")),
       iter - startIter, converged, stats.reverse,
-      release = () => finalBacking.unpersist(blocking = false))
+      release = releaseBacking)
   }
 
   /** [[loop]] with automatic resume: when `cfg.checkpointDir` holds a

@@ -23,6 +23,10 @@ object PrActionProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Bench.session(cpus, "pr-action-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    // the toRdd-vs-count action choice only exists on the IMR leaf path
+    // (the r5 default "ckpt" leaf fuses its own action); pin it so the A/B
+    // stays meaningful
+    sys.props("graft.state.leaf") = "imr"
     val edges = SyntheticGraph.randomEdges(spark, n, 10)
     Bench.graphBench(spark, 10000L, 10) // JIT/classloading warm-up
     val meds = scala.collection.mutable.Map.empty[String, List[Long]]

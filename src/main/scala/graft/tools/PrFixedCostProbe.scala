@@ -33,8 +33,7 @@ object PrFixedCostProbe {
       // leaf variants named like "imr8" set the shuffle width too
       val (leafName, width) = leaf.span(!_.isDigit)
       if (width.nonEmpty) spark.conf.set("spark.sql.shuffle.partitions", width)
-      if (leafName == "rdd") sys.props("graft.state.leaf") = "rdd"
-      else sys.props.remove("graft.state.leaf")
+      sys.props("graft.state.leaf") = leafName
       val cfg = graft.model.RunConfig(localCheckpointEvery = lce)
       val t = Bench.timed(PageRank.run(e, cfg = cfg))
       val med = t.value.stats.map(_.computeMs).sorted.apply(t.value.stats.size / 2)

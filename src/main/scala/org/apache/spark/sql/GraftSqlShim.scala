@@ -96,6 +96,81 @@ object GraftSqlShim {
     */
   def materializeObserved(df: DataFrame): Map[String, Row] = {
     val cdf = df.asInstanceOf[classic.DataFrame]
+    val qe = guardedQueryExecution(cdf)
+    // escape hatch for interleaved A/B probes: materialize via count()
+    // (the pre-r4 action — plans an extra Aggregate + one single-task
+    // stage) instead of the toRdd consume. Measured equivalent at 100K
+    // vertices and ~12% slower at 2K (PrActionProbe, BENCH.md §10) — the
+    // toRdd default wins or ties at every size. The sync accumulator read
+    // below works for either action: both trigger the same
+    // InMemoryRelation cachedPlan instance.
+    if (sys.props.get("graft.loop.action")
+        .orElse(sys.env.get("SPARK_GRAFT_LOOP_ACTION")).contains("count")) {
+      df.count()
+    } else {
+      execution.SQLExecution.withNewExecutionId(qe) {
+        qe.toRdd.foreachPartition { it: Iterator[_] =>
+          while (it.hasNext) it.next()
+        }
+      }
+    }
+    collectObserved(qe.executedPlan)
+  }
+
+  /** Materialize UNPERSISTED loop state `df` as a locally-checkpointed
+    * row RDD with ONE job, and return (flat-leaf view, release, observed
+    * metrics). Compared to the persist-as-InMemoryRelation flow
+    * ([[materializeObserved]] + [[cachedView]] + a periodic
+    * `Dataset.localCheckpoint`), this fuses everything the loop needs into
+    * the single materializing job:
+    *
+    *  - the plan executes once; rows are defensively copied ONCE
+    *    (`map(_.copy())` — the same contract `Dataset.checkpoint` uses)
+    *    and stored as deserialized MEMORY_AND_DISK blocks — no columnar
+    *    encode at materialization and no per-scan decode afterwards (the
+    *    IMR flow pays encode + a decode per scan, and the state is
+    *    scanned twice per superstep);
+    *  - `localCheckpoint()` is marked BEFORE the job, so the job's own
+    *    cached blocks become the checkpoint — RDD lineage is truncated
+    *    every superstep at zero extra cost. The IMR flow runs a separate
+    *    `Dataset.localCheckpoint` job every k-th superstep (a full extra
+    *    pass: decode cache → copy → re-store, then an IMR re-encode on
+    *    the next scan) and pays growing driver/task costs between
+    *    checkpoints (the IMR leaf embeds its builder plan: analysis,
+    *    plan-string and task-closure size all grow per superstep until
+    *    the next truncation — measured build 42→372 ms and exec
+    *    318→1038 ms across one 8-step window at 100K vertices);
+    *  - every `observe()` CollectMetrics accumulator fires in the same
+    *    job and is read synchronously, exactly as in
+    *    [[materializeObserved]].
+    *
+    * The returned view is a flat `LogicalRDD` over the checkpointed rows
+    * (stable objects — served without the per-scan copy
+    * [[truncatedView]] must pay on reused-buffer scan output), carrying
+    * the plan's outputPartitioning so co-partitioned loop joins stay
+    * exchange-free. `release` drops the blocks; the view is
+    * unrecomputable afterwards (lineage was truncated), matching the
+    * loop's retire-previous-state discipline.
+    */
+  def materializeLocalCheckpointed(
+      df: DataFrame): (DataFrame, () => Unit, Map[String, Row]) = {
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    val qe = guardedQueryExecution(cdf)
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    execution.SQLExecution.withNewExecutionId(qe) {
+      rdd.foreachPartition { it: Iterator[_] =>
+        while (it.hasNext) it.next()
+      }
+    }
+    val logical = execution.LogicalRDD.fromDataset(rdd, cdf, isStreaming = false)
+    (classic.Dataset.ofRows(cdf.sparkSession, logical),
+      () => { rdd.unpersist(blocking = false); () },
+      collectObserved(qe.executedPlan))
+  }
+
+  private def guardedQueryExecution(
+      cdf: classic.DataFrame): execution.QueryExecution = {
     var qe = cdf.queryExecution
     // Session-transition guard: `SparkPlan.session` is captured from
     // getActiveSession at node CONSTRUCTION, and getActiveSession filters
@@ -127,24 +202,7 @@ object GraftSqlShim {
         s"${s.sparkContext.applicationId} — the session-transition race fired " +
         "twice; the owning SparkContext is likely being stopped concurrently")
     }
-    // escape hatch for interleaved A/B probes: materialize via count()
-    // (the pre-r4 action — plans an extra Aggregate + one single-task
-    // stage) instead of the toRdd consume. Measured equivalent at 100K
-    // vertices and ~12% slower at 2K (PrActionProbe, BENCH.md §10) — the
-    // toRdd default wins or ties at every size. The sync accumulator read
-    // below works for either action: both trigger the same
-    // InMemoryRelation cachedPlan instance.
-    if (sys.props.get("graft.loop.action")
-        .orElse(sys.env.get("SPARK_GRAFT_LOOP_ACTION")).contains("count")) {
-      df.count()
-    } else {
-      execution.SQLExecution.withNewExecutionId(qe) {
-        qe.toRdd.foreachPartition { it: Iterator[_] =>
-          while (it.hasNext) it.next()
-        }
-      }
-    }
-    collectObserved(qe.executedPlan)
+    qe
   }
 
   /** All CollectMetrics accumulators in `plan`, descending into cached

@@ -358,4 +358,31 @@ class LabelPropagationSpec extends SparkSpec {
     }
     runWith(legacy = false) shouldBe runWith(legacy = true)
   }
+
+  test("all three state-leaf modes produce identical labels") {
+    // graft.state.leaf selects how the loop materializes + re-roots its
+    // per-superstep state: "ckpt" (default, r5 — copy + localCheckpoint
+    // fused into the one materializing job, flat LogicalRDD leaf), "imr"
+    // (r4 — columnar InMemoryRelation leaf + periodic Dataset
+    // .localCheckpoint job), "rdd" (flat view with per-scan defensive
+    // copy). A materialization detail only: labels, iteration count and
+    // convergence must be identical. The tie-heavy fixture keeps the
+    // argmax tie-break on the critical path in every mode.
+    val (edges, seeds) = tieHeavy
+    def runWith(mode: String) = {
+      sys.props("graft.state.leaf") = mode
+      try {
+        val res = LabelPropagation.run(
+          spark.createDataset(edges.map { case (s, d) => Edge(s, d) }),
+          spark.createDataset(seeds.toSeq.map { case (k, v) => Seed(k, v) }))
+        val m = res.labels.collect().map(v => v.id -> v.label).toMap
+        val out = (m, res.iterations, res.converged)
+        res.release()
+        out
+      } finally sys.props.remove("graft.state.leaf")
+    }
+    val ckpt = runWith("ckpt")
+    runWith("imr") shouldBe ckpt
+    runWith("rdd") shouldBe ckpt
+  }
 }
