@@ -33,8 +33,15 @@ object StateLeafProbe {
     var prFps = Set.empty[Long]
     def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
     val skipPr = sys.env.contains("SPARK_GRAFT_PROBE_SKIP_PR")
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
     for (r <- 1 to reps; mode <- modes) {
-      sys.props("graft.state.leaf") = mode
+      // mode variants named like "ckpt16" set the shuffle width too (the
+      // PrFixedCostProbe convention) — the loop repartitions its contrib
+      // and state tables at the session width, so this is the loop width
+      val (leafName, width) = mode.span(!_.isDigit)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (width.nonEmpty) width else sessionWidth)
+      sys.props("graft.state.leaf") = leafName
       val lp = Bench.timed(LabelPropagation.run(edges, seeds))
       val lpMed = med(lp.value.stats.map(_.computeMs))
       val lpIters = lp.value.iterations
