@@ -139,6 +139,20 @@ object ConnectedComponents {
       val vertices = edges.select($"src".as("id"))
         .union(edges.select($"dst".as("id"))).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // u32-id graphs pack each round's two distinct() exchanges onto ONE
+      // long pk=(u<<32)|v — 16 vs 24 B of UnsafeRow per edge on the two
+      // biggest per-round exchanges (same recipe as LP's packExchange;
+      // bijective for ids < 2^32, so the distinct sets are identical).
+      // `graft.cc.packexchange=0` restores the pair rows (A/B hatch).
+      val idB = vertices.agg(
+        coalesce(min($"id"), lit(0L)), coalesce(max($"id"), lit(0L))).head()
+      val packStar = idB.getLong(0) >= 0L && idB.getLong(1) < (1L << 32) &&
+        !sys.props.get("graft.cc.packexchange").contains("0")
+      def distinctEdges(df: DataFrame): DataFrame =
+        if (!packStar) df.distinct()
+        else df.select((shiftleft($"u", 32) + $"v").as("pk")).distinct()
+          .select(shiftrightunsigned($"pk", 32).as("u"),
+            $"pk".bitwiseAND(lit((1L << 32) - 1)).as("v"))
 
       val initial = edges.select(
         least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
@@ -168,21 +182,24 @@ object ConnectedComponents {
         // large-star: Γ taken over both directions; m(u) = min(Γ(u) ∪ {u});
         // every neighbour v > u re-points to m(u)
         val bidir = g.select($"u", $"v").union(g.select($"v".as("u"), $"u".as("v")))
-        val minsL = bidir.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
-        val ls = bidir.join(Superstep.shj(minsL), "u")
+        // least AFTER the aggregation: u is the group key, so folding it
+        // into the agg as least(min(v), first(u)) only added a first()
+        // buffer (value + valueSet) to every partial-agg exchange row —
+        // identical m, two fewer shuffled fields
+        val minsL = bidir.groupBy($"u").agg(min($"v").as("mv"))
+          .select($"u", least($"mv", $"u").as("m"))
+        val ls = distinctEdges(bidir.join(Superstep.shj(minsL), "u")
           .filter($"v" > $"u")
           .select($"v".as("u"), $"m".as("v"))
-          .filter($"u" =!= $"v")
-          .distinct()
+          .filter($"u" =!= $"v"))
         // small-star: all edges now point large→small; m(u) = min(N(u) ∪ {u});
         // u and its neighbours except m re-point to m
         val minsS = ls.groupBy($"u").agg(min($"v").as("m"))
-        val ss = ls.join(Superstep.shj(minsS), "u")
+        val ss = distinctEdges(ls.join(Superstep.shj(minsS), "u")
           .filter($"v" =!= $"m")
           .select($"v".as("u"), $"m".as("v"))
           .union(minsS.select($"u", $"m".as("v")))
-          .filter($"u" =!= $"v")
-          .distinct()
+          .filter($"u" =!= $"v"))
         // persist a FLAT LogicalRDD view of the round result: the IMR the
         // next round references then carries a one-node cachedPlan (scan of
         // this round's executed RDD) instead of the whole round plan. A

@@ -42,7 +42,10 @@ import graft.model._
   *             when labels exceed u32 or counts exceed 31 bits); when every
   *             multiplicity is 1 (deduplicated edge table) the w column is
   *             dropped from the exchange and sum(w) becomes count(*) —
-  *             bit-identical votes, ~25% narrower shuffle rows
+  *             bit-identical votes, ~25% narrower shuffle rows; when src
+  *             ids AND labels both fit u32 the exchange row packs further
+  *             into ONE long pk=(src<<32)|label (16 B vs 24 B UnsafeRow)
+  *             with the plan still single-exchange (see packExchange)
   *   apply   = state ⟗ votes on id (shuffled-hash, votes build), seeded
   *             rows keep their label, changed flag folded into the same
   *             projection (no extra action).
@@ -104,8 +107,11 @@ object LabelPropagation {
     val eAgg = packedSession.agg(
       coalesce(sum($"w"), lit(0L)),
       count(lit(1)),
-      coalesce(max($"w"), lit(1L))).head()
+      coalesce(max($"w"), lit(1L)),
+      coalesce(min($"src"), lit(0L)),
+      coalesce(max($"src"), lit(0L))).head()
     val edgeCount = eAgg.getLong(0)
+    val (srcMin, srcMax) = (eAgg.getLong(3), eAgg.getLong(4))
     // Near-unit multiplicities (Σw ≤ 1.01·rows — the common case: a
     // deduplicated or near-deduplicated edge table; the reference's random
     // generator leaves only birthday-collision duplicates, ~50 in 40M) let
@@ -238,6 +244,27 @@ object LabelPropagation {
     val packedVote = labelBounds._1 >= 0L && labelBounds._2 < (1L << 32) &&
       edgeCount < (1L << 31) &&
       !sys.props.get("graft.lp.structvote").contains("1")
+    // Packed EXCHANGE row (r5): when both the voting src ids and the label
+    // domain fit unsigned 32-bit lanes, the gather output ships ONE long
+    // pk = (src<<32)|label instead of the (src,label) pair — a 16-byte
+    // UnsafeRow instead of 24 bytes on the loop's only per-superstep
+    // exchange, whose write+read DRAM traffic is LP's measured scaling
+    // bottleneck at full core occupancy (BENCH.md §11b: the vote exchange
+    // is the largest per-superstep DRAM consumer). Repartitioning by
+    // `shiftrightunsigned(pk,32)` and projecting that same expression back out as
+    // `src` lets alias-aware output partitioning rewrite the exchange's
+    // HashPartitioning(shiftrightunsigned(pk,32)) to HashPartitioning(src), so
+    // both vote aggregation levels AND the apply join stay exchange-free
+    // (plan-verified: graft.tools.PackPlanProbe — identical exchange count,
+    // all four HashAggregates + the apply SHJ in one post-shuffle codegen
+    // stage). Murmur3 of shiftrightunsigned(pk,32) equals Murmur3 of src value-wise,
+    // so co-partitioning with the cached state holds numerically too.
+    // unitW-only (the weighted row must carry w anyway; salted gathers keep
+    // their salt columns). `graft.lp.packexchange=0` restores the pair row
+    // (A/B probe hatch).
+    val packExchange = packedVote && unitW &&
+      srcMin >= 0L && srcMax < (1L << 32) &&
+      !sys.props.get("graft.lp.packexchange").contains("0")
     // enter the loop at the loop width (see PageRank.init — a session-width
     // init otherwise forces a contrib re-exchange every superstep)
     val init = loopWidth.fold(init0)(w => init0.repartition(w, $"id"))
@@ -265,10 +292,22 @@ object LabelPropagation {
       // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
       // at 4M vertices that sorted all 40M gather rows every superstep,
       // ~20× the task time of this plan.
-      val counted = gather
-        .repartition($"src")
-        .groupBy($"src", $"label")
-        .agg((if (unitW) count(lit(1)) else sum($"w")).as("cnt"))
+      val counted =
+        if (packExchange)
+          // single-long exchange row: pk = (src<<32)|label (label < 2^32 so
+          // + is bitwise OR); the repartition expression and the projected
+          // src are the SAME tree, which is what keeps the downstream plan
+          // exchange-free — see the packExchange gate's comment
+          gather.select((shiftleft($"src", 32) + $"label").as("pk"))
+            .repartition(shiftrightunsigned($"pk", 32))
+            .select(shiftrightunsigned($"pk", 32).as("src"),
+              $"pk".bitwiseAND(lit((1L << 32) - 1)).as("label"))
+            .groupBy($"src", $"label")
+            .agg(count(lit(1)).as("cnt"))
+        else gather
+          .repartition($"src")
+          .groupBy($"src", $"label")
+          .agg((if (unitW) count(lit(1)) else sum($"w")).as("cnt"))
       val votes =
         if (packedVote)
           // hash-aggregable single-long argmax: bigger cnt wins, ties break

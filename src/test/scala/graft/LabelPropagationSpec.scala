@@ -339,6 +339,41 @@ class LabelPropagationSpec extends SparkSpec {
     packed shouldBe structv
   }
 
+  test("packed vote exchange == pair exchange, incl. src ids above 2^31") {
+    // the default unitW+u32 shape ships one long pk=(src<<32)|label on the
+    // per-superstep exchange; graft.lp.packexchange=0 restores the
+    // (src,label) pair row. Same ties, same labels — and ids in
+    // [2^31, 2^32) make the packed long NEGATIVE, pinning the
+    // shiftrightunsigned unpack (a signed shiftright sign-extends there).
+    val (tieEdges, tieSeeds) = tieHeavy
+    val hi = 0x80000000L // 2^31
+    val hiEdges = tieEdges.map { case (s, d) => (s + hi, d + hi) }
+    val hiSeeds = tieSeeds.map { case (k, v) => (k + hi) -> v }
+    def runWith(edges: Seq[(Long, Long)], seeds: Map[Long, Long],
+        pack: Boolean) = {
+      if (!pack) sys.props("graft.lp.packexchange") = "0"
+      try {
+        val res = LabelPropagation.run(
+          spark.createDataset(edges.map { case (s, d) => Edge(s, d) }),
+          spark.createDataset(seeds.toSeq.map { case (k, v) => Seed(k, v) }))
+        val m = res.labels.collect().map(v => v.id -> v.label).toMap
+        val out = (m, res.iterations, res.converged)
+        res.release()
+        out
+      } finally sys.props.remove("graft.lp.packexchange")
+    }
+    for ((e, s) <- Seq((tieEdges, tieSeeds), (hiEdges, hiSeeds))) {
+      val on = runWith(e, s, pack = true)
+      val off = runWith(e, s, pack = false)
+      on shouldBe off
+    }
+    // ids at 2^32 or above must NOT take the packed path (and still agree)
+    val bigEdges = tieEdges.map { case (s, d) => (s + (1L << 32), d + (1L << 32)) }
+    val bigSeeds = tieSeeds.map { case (k, v) => (k + (1L << 32)) -> v }
+    runWith(bigEdges, bigSeeds, pack = true) shouldBe
+      runWith(bigEdges, bigSeeds, pack = false)
+  }
+
   test("legacy (unhinted) loop-join plans produce identical labels") {
     // graft.loop.legacyplan=1 drops the shuffle_hash hints, letting Spark
     // fall back to SortMergeJoin in every superstep — plan-only toggle,
