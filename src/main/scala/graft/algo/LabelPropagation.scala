@@ -259,10 +259,12 @@ object LabelPropagation {
     // all four HashAggregates + the apply SHJ in one post-shuffle codegen
     // stage). Murmur3 of shiftrightunsigned(pk,32) equals Murmur3 of src value-wise,
     // so co-partitioning with the cached state holds numerically too.
-    // unitW-only (the weighted row must carry w anyway; salted gathers keep
-    // their salt columns). `graft.lp.packexchange=0` restores the pair row
+    // Applies to BOTH vote shapes: the unit-multiplicity row packs to just
+    // (pk) — 16 vs 24 B — and the weighted row (salted hub-skew graphs,
+    // the 100 TB web shape, or multiplicity-heavy tables) to (pk, w) —
+    // 24 vs 32 B. `graft.lp.packexchange=0` restores the pair rows
     // (A/B probe hatch).
-    val packExchange = packedVote && unitW &&
+    val packExchange = packedVote &&
       srcMin >= 0L && srcMax < (1L << 32) &&
       !sys.props.get("graft.lp.packexchange").contains("0")
     // enter the loop at the loop width (see PageRank.init — a session-width
@@ -293,18 +295,24 @@ object LabelPropagation {
       // at 4M vertices that sorted all 40M gather rows every superstep,
       // ~20× the task time of this plan.
       val counted =
-        if (packExchange)
-          // single-long exchange row: pk = (src<<32)|label (label < 2^32 so
-          // + is bitwise OR); the repartition expression and the projected
-          // src are the SAME tree, which is what keeps the downstream plan
-          // exchange-free — see the packExchange gate's comment
-          gather.select((shiftleft($"src", 32) + $"label").as("pk"))
-            .repartition(shiftrightunsigned($"pk", 32))
-            .select(shiftrightunsigned($"pk", 32).as("src"),
-              $"pk".bitwiseAND(lit((1L << 32) - 1)).as("label"))
+        if (packExchange) {
+          // packed exchange row: pk = (src<<32)|label (label < 2^32 so +
+          // is bitwise OR), plus w on the weighted shape; the repartition
+          // expression and the projected src are the SAME tree, which is
+          // what keeps the downstream plan exchange-free — see the
+          // packExchange gate's comment
+          val pk = (shiftleft($"src", 32) + $"label").as("pk")
+          val packed =
+            (if (unitW) gather.select(pk) else gather.select(pk, $"w"))
+              .repartition(shiftrightunsigned($"pk", 32))
+          val unpacked = Seq(
+            shiftrightunsigned($"pk", 32).as("src"),
+            $"pk".bitwiseAND(lit((1L << 32) - 1)).as("label")) ++
+            (if (unitW) Nil else Seq($"w"))
+          packed.select(unpacked: _*)
             .groupBy($"src", $"label")
-            .agg(count(lit(1)).as("cnt"))
-        else gather
+            .agg((if (unitW) count(lit(1)) else sum($"w")).as("cnt"))
+        } else gather
           .repartition($"src")
           .groupBy($"src", $"label")
           .agg((if (unitW) count(lit(1)) else sum($"w")).as("cnt"))

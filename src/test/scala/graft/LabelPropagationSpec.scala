@@ -374,6 +374,37 @@ class LabelPropagationSpec extends SparkSpec {
       runWith(bigEdges, bigSeeds, pack = false)
   }
 
+  test("packed exchange under forced salting (weighted vote row)") {
+    // hub-skew graphs keep the weighted vote (salted adjacency carries w);
+    // the packed exchange must ship (pk, w) there and agree with the
+    // (src, label, w) pair row bit-for-bit
+    val (tieEdges, tieSeeds) = tieHeavy
+    val saltCfg = RunConfig(hubSaltK = 4, hubDegreeThreshold = 1L)
+    def runWith(pack: Boolean) = {
+      if (!pack) sys.props("graft.lp.packexchange") = "0"
+      try {
+        val res = LabelPropagation.run(
+          spark.createDataset(tieEdges.map { case (s, d) => Edge(s, d) }),
+          spark.createDataset(tieSeeds.toSeq.map { case (k, v) => Seed(k, v) }),
+          saltCfg)
+        val m = res.labels.collect().map(v => v.id -> v.label).toMap
+        val out = (m, res.iterations, res.converged)
+        res.release()
+        out
+      } finally sys.props.remove("graft.lp.packexchange")
+    }
+    val on = runWith(pack = true)
+    val off = runWith(pack = false)
+    on shouldBe off
+    // and both agree with the unsalted default run
+    val plain = LabelPropagation.run(
+      spark.createDataset(tieEdges.map { case (s, d) => Edge(s, d) }),
+      spark.createDataset(tieSeeds.toSeq.map { case (k, v) => Seed(k, v) }))
+    val plainMap = plain.labels.collect().map(v => v.id -> v.label).toMap
+    plain.release()
+    on._1 shouldBe plainMap
+  }
+
   test("legacy (unhinted) loop-join plans produce identical labels") {
     // graft.loop.legacyplan=1 drops the shuffle_hash hints, letting Spark
     // fall back to SortMergeJoin in every superstep — plan-only toggle,
