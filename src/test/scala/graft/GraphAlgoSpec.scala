@@ -88,6 +88,33 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  test("triangle r5 plan variants agree: packed broadcast == packed shuffled " +
+    "== pair rows, with ids at the top of the u32 domain") {
+    // ids in [2^32-80, 2^32): the packed pk = id(v1)·2^32 + id(v2) goes
+    // negative as a signed Long and the (degree,id) key's low lane has the
+    // sign bit set — any signed shift or widening in the pack/unpack chain
+    // would silently corrupt the join keys at exactly these ids
+    val offset = 0xFFFFFFFFL - 80
+    val edges = SyntheticGraph.randomEdgesLocal(60, 4, 33L)
+      .map { case (s, d) => (s + offset, d + offset) }
+    def run() = {
+      val r = TriangleCount.run(edgeDs(edges))
+      val out = (r.counts.collect().map(t => t.id -> t.triangles).toMap,
+        r.totalTriangles)
+      r.release()
+      out
+    }
+    val packedBroadcast = run()
+    sys.props("graft.tc.closebuild.maxrows") = "1" // force the web-scale SHJ build
+    val packedShuffled = try run() finally sys.props.remove("graft.tc.closebuild.maxrows")
+    sys.props("graft.tc.packexchange") = "0"
+    val pairRows = try run() finally sys.props.remove("graft.tc.packexchange")
+    val vertices = edges.flatMap { case (s, d) => Seq(s, d) }.distinct
+    packedBroadcast._1 shouldBe SerialOracles.triangleCounts(vertices, edges)
+    packedShuffled shouldBe packedBroadcast
+    pairRows shouldBe packedBroadcast
+  }
+
   test("BFS levels match the oracle; unreachable vertices absent") {
     val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (0, 2), (7, 8))
     val res = Paths.bfs(edgeDs(edges), 0L)
