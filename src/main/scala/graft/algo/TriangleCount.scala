@@ -110,6 +110,9 @@ object TriangleCount {
           .select(explode(array($"uid",
             shiftrightunsigned($"pk", 32), unpack($"pk"))).as("id"))
           .groupBy($"id").agg(count(lit(1)).as("triangles"))
+          // both sides of the final attach are |V|-sized at web scale:
+          // build the aggregated side, don't sort two billion-row streams
+          .hint("shuffle_hash")
         val counts = vertices.join(perVertex, Seq("id"), "left_outer")
           .select($"id", coalesce($"triangles", lit(0L)).as("triangles"))
           .as[VertexTriangles]
