@@ -49,6 +49,16 @@ object TriangleCount {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // fail fast outside the u32 id domain (reference guarantee): the
+    // (degree,id) key and the packed closing key both lane ids into 32
+    // bits — an id ≥ 2^32 would overflow into the degree/v1 lane and
+    // corrupt the orientation SILENTLY. One cheap columnar agg over the
+    // already-cached canonical edges (LP's numNodes guard discipline).
+    val maxId = canon.agg(coalesce(greatest(max($"a"), max($"b")), lit(0L)))
+      .head().getLong(0)
+    require(maxId <= 0xffffffffL,
+      s"TriangleCount requires vertex ids < 2^32 (reference id domain); max id seen = $maxId")
+
     // undirected degree per vertex → total-order key deg·2^32 + id
     val deg = canon.select($"a".as("id")).union(canon.select($"b".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))

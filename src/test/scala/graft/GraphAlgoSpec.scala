@@ -115,6 +115,14 @@ class GraphAlgoSpec extends SparkSpec {
     pairRows shouldBe packedBroadcast
   }
 
+  test("triangle count fails fast on ids outside the u32 domain") {
+    val tooBig = Seq[(Long, Long)]((1L << 32, 1L), (1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      TriangleCount.run(edgeDs(tooBig))
+    }
+    ex.getMessage should include("2^32")
+  }
+
   test("BFS levels match the oracle; unreachable vertices absent") {
     val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 3), (0, 2), (7, 8))
     val res = Paths.bfs(edgeDs(edges), 0L)
